@@ -1,0 +1,169 @@
+"""Command-line driver — the TPU-native replacement of the reference's
+``run.sh`` pipeline (run.sh:120-129: gen_data.py -> render binary ->
+data_visualization.py).
+
+Usage:
+    python -m ascendpathtracing_tpu.cli render \
+        --width 256 --height 256 --samples 1 --bounces 4 \
+        --mode reference --backend auto --out output/
+
+Run modes map to the reference's ``-r {cpu,sim,npu}`` (run.sh:32-60):
+  --backend cpu   force JAX CPU (the tikicpulib-style host path)
+  --backend tpu   require a TPU
+  --backend auto  use whatever JAX finds (default)
+
+Artifacts written (reference-compatible formats, utils/io.py):
+  <out>/rays.bin  <out>/spheres.bin  <out>/color.bin  <out>/color.ppm
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _parse_args(argv):
+    p = argparse.ArgumentParser(prog="ascendpathtracing_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("render", help="render a scene end-to-end")
+    r.add_argument("--width", type=int, default=16)
+    r.add_argument("--height", type=int, default=16)
+    r.add_argument("--samples", type=int, default=1)
+    r.add_argument("--bounces", type=int, default=5)
+    r.add_argument("--mode", choices=["reference", "pt"], default="reference")
+    r.add_argument("--scene", default=None, help="default: cornell8 (reference) / smallpt9 (pt)")
+    r.add_argument("--seed", type=int, default=0)
+    r.add_argument("--backend", choices=["auto", "cpu", "tpu"], default="auto")
+    r.add_argument("--renderer", choices=["jit", "pallas", "wavefront"], default="jit")
+    r.add_argument("--out", default="output")
+    r.add_argument("--oracle", action="store_true", help="also run the NumPy oracle and report parity")
+
+    o = sub.add_parser("oracle", help="run only the NumPy oracle")
+    o.add_argument("--width", type=int, default=16)
+    o.add_argument("--height", type=int, default=16)
+    o.add_argument("--samples", type=int, default=1)
+    o.add_argument("--bounces", type=int, default=5)
+    o.add_argument("--seed", type=int, default=0)
+    o.add_argument("--scene", default="cornell8")
+    o.add_argument("--out", default="output")
+
+    return p.parse_args(argv)
+
+
+def _setup_backend(backend: str):
+    import jax
+
+    if backend == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    elif backend == "tpu":
+        if jax.default_backend() not in ("tpu",):
+            print(f"ERROR: requested tpu, found {jax.default_backend()}", file=sys.stderr)
+            sys.exit(2)
+    return jax
+
+
+def cmd_render(args) -> int:
+    from ascendpathtracing_tpu.config import RenderConfig
+
+    try:
+        RenderConfig(
+            width=args.width,
+            height=args.height,
+            samples=args.samples,
+            bounces=args.bounces,
+            mode=args.mode,
+        ).validate()
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+
+    jax = _setup_backend(args.backend)
+    import numpy as np
+
+    from ascendpathtracing_tpu import camera, oracle, scenes
+    from ascendpathtracing_tpu.models import megakernel
+    from ascendpathtracing_tpu.utils import io
+
+    scene_name = args.scene or ("cornell8" if args.mode == "reference" else "smallpt9")
+    try:
+        scene = scenes.get_scene(scene_name)
+    except KeyError as e:
+        print(f"error: {e.args[0]}", file=sys.stderr)
+        return 2
+    w, h, s = args.width, args.height, args.samples
+
+    t0 = time.time()
+    rays = camera.generate_rays_numpy(w, h, s, seed=args.seed).astype(np.float32)
+    io.write_rays_bin(rays, f"{args.out}/rays.bin")
+    io.write_spheres_bin(scene, f"{args.out}/spheres.bin")
+    t_gen = time.time() - t0
+
+    dev = megakernel.scene_to_device(scene)
+    t0 = time.time()
+    if args.mode == "reference":
+        colors = megakernel.render_reference(rays, dev, bounces=args.bounces)
+    else:
+        key = jax.random.PRNGKey(args.seed)
+        colors = megakernel.render_pt(key, rays, dev, bounces=args.bounces)
+    colors = np.asarray(jax.block_until_ready(colors))
+    t_render = time.time() - t0
+
+    io.write_color_bin(colors, f"{args.out}/color.bin")
+    img = io.decode_color(colors, w, h, s)
+    io.write_ppm(img, f"{args.out}/color.ppm")
+
+    n_rays = rays.shape[0]
+    stats = {
+        "backend": jax.default_backend(),
+        "scene": scene_name,
+        "mode": args.mode,
+        "rays": n_rays,
+        "bounces": args.bounces,
+        "gen_s": round(t_gen, 4),
+        "render_s": round(t_render, 4),
+        "mrays_per_s": round(n_rays * args.bounces / max(t_render, 1e-9) / 1e6, 3),
+        "out": f"{args.out}/color.ppm",
+    }
+    if args.oracle and args.mode == "reference":
+        exp = oracle.render_reference_numpy(rays, scene, bounces=args.bounces)
+        img_o = io.decode_color(exp, w, h, s)
+        stats["oracle_rays_bitexact"] = float((np.abs(exp - colors).max(1) == 0).mean())
+        stats["oracle_img_equal_pix"] = float(
+            (img_o == img).all(axis=-1).mean()
+        )
+    print(json.dumps(stats))
+    return 0
+
+
+def cmd_oracle(args) -> int:
+    import numpy as np
+
+    from ascendpathtracing_tpu import camera, oracle, scenes
+    from ascendpathtracing_tpu.utils import io
+
+    scene = scenes.get_scene(args.scene)
+    rays = camera.generate_rays_numpy(args.width, args.height, args.samples, seed=args.seed)
+    colors = oracle.render_reference_numpy(
+        rays.astype(np.float32), scene, bounces=args.bounces
+    )
+    io.write_color_bin(colors, f"{args.out}/oracle_color.bin")
+    img = io.decode_color(colors, args.width, args.height, args.samples)
+    io.write_ppm(img, f"{args.out}/oracle_color.ppm")
+    print(json.dumps({"rays": len(rays), "out": f"{args.out}/oracle_color.ppm"}))
+    return 0
+
+
+def main(argv=None) -> int:
+    args = _parse_args(sys.argv[1:] if argv is None else argv)
+    if args.cmd == "render":
+        return cmd_render(args)
+    if args.cmd == "oracle":
+        return cmd_oracle(args)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
