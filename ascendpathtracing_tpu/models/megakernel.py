@@ -3,19 +3,23 @@
 TPU-native re-design of the reference's fused Ascend C kernel
 (src/render.cpp): the CopyIn/Compute/CopyOut tile pipeline
 (render.cpp:52-59) and the manual UB allocator (src/allocator.h) disappear
-— the whole render is one traced XLA program over [N]-ray arrays; XLA
-handles fusion, tiling and memory.  The fixed ``while depth < 5`` bounce
-loop (render.cpp:141-188) becomes a ``lax.fori_loop`` with static trip
-count (unrolled by XLA when profitable).
+— the whole render is one traced XLA program; XLA handles fusion, tiling
+and memory.  The fixed ``while depth < 5`` bounce loop
+(render.cpp:141-188) becomes a ``lax.fori_loop`` with static trip count.
+
+Layout: ray state is SoA — ten 1-D [N] planes (o, d, throughput, alive) —
+mirroring the reference's RaySoA/VecSoA design (rt_helper.h:65-123) and
+keeping every hot array padding-free on TPU tiles (see ops/intersect.py).
+The [N, 6] / [N, 3] AoS forms appear only at the API boundary.
 
 Two render modes (config.mode):
 
-- :func:`render_reference` — bit-level parity with the reference kernel /
-  oracle semantics (specular-only, light-mask on the light sphere,
-  throughput x emission finalize; see oracle.py for the contract).
+- :func:`render_reference` — parity with the reference kernel / oracle
+  semantics (specular-only, light-mask on the light sphere, throughput x
+  emission finalize; see oracle.py for the contract).
 - :func:`render_pt` — the full smallpt Monte-Carlo estimator (DIFF /
   SPEC / REFR materials, emission accumulated every bounce, Russian
-  roulette) — the BASELINE north-star path.
+  roulette) — the BASELINE north-star mode.
 """
 
 from __future__ import annotations
@@ -25,7 +29,10 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ascendpathtracing_tpu.ops.intersect import MISS_T, intersect_spheres, reduce_hit
+from ascendpathtracing_tpu.ops.intersect import (
+    intersect_spheres_soa,
+    reduce_hit_soa,
+)
 from ascendpathtracing_tpu.ops import shade
 from ascendpathtracing_tpu.scenes import DIFF, REFR, SPEC, SphereScene
 
@@ -35,7 +42,7 @@ def scene_to_device(scene: SphereScene, dtype=jnp.float32) -> dict:
 
     ``r2`` (not radius) is the stored parameter, matching the on-disk /
     reference layout (gen_data.py:109).  All float leaves are
-    differentiable; ``material`` and ``light_index`` ride along as static
+    differentiable; ``material`` and ``light_index`` ride along as
     metadata.
     """
     return {
@@ -48,57 +55,97 @@ def scene_to_device(scene: SphereScene, dtype=jnp.float32) -> dict:
     }
 
 
+def rays_to_soa(rays):
+    """[N, 6] -> (o3, d3) component tuples (the boundary transpose)."""
+    return (
+        (rays[:, 0], rays[:, 1], rays[:, 2]),
+        (rays[:, 3], rays[:, 4], rays[:, 5]),
+    )
+
+
+def _scene_planes(scene, key):
+    arr = scene[key]
+    return (arr[:, 0], arr[:, 1], arr[:, 2])
+
+
 # ------------------------------------------------------------------------
 # Reference-parity mode
 # ------------------------------------------------------------------------
-@partial(jax.jit, static_argnames=("bounces", "eps"))
-def render_reference(rays, scene: dict, *, bounces: int = 5, eps: float = 1e-4):
-    """Render with exact reference-kernel semantics.
+def default_hit_fn(o3, d3, scene: dict, eps: float):
+    """Single-device nearest-hit: intersect all spheres, reduce.
+    Swappable so the sharded renderer can substitute a tensor-parallel
+    version (parallel/sharded.py) without duplicating the bounce loop."""
+    cx, cy, cz = _scene_planes(scene, "center")
+    t = intersect_spheres_soa(*o3, *d3, cx, cy, cz, scene["r2"], eps)
+    return reduce_hit_soa(t)
 
-    Args:
-      rays: [N, 6] float32 (ox oy oz dx dy dz).
-      scene: pytree from :func:`scene_to_device`.
 
-    Returns colors [N, 3] float32 = throughput * light emission
-    (render.cpp:194-196).
+def reference_bounce_loop(o3, d3, scene: dict, *, bounces, eps, hit_fn=default_hit_fn):
+    """The reference kernel's bounce loop (render.cpp:141-196) over SoA
+    ray state; see oracle.py for the semantics contract.
+
+    Args: o3, d3 = (x, y, z) tuples of [N] planes.
+    Returns colors [N, 3] (AoS at the boundary).
     """
-    o = rays[:, 0:3]
-    d = rays[:, 3:6]
-    n = o.shape[0]
+    n = o3[0].shape[0]
     s = scene["r2"].shape[0]
     light = scene["light_index"]
+    dtype = o3[0].dtype
 
-    throughput = jnp.ones((n, 3), rays.dtype)
+    cx, cy, cz = _scene_planes(scene, "center")
+    ax, ay, az = _scene_planes(scene, "albedo")
+
+    tr = jnp.ones((n,), dtype)
+    tg = jnp.ones((n,), dtype)
+    tb = jnp.ones((n,), dtype)
     alive = jnp.ones((n,), bool)
 
     def body(_, state):
-        o, d, throughput, alive = state
-        t = intersect_spheres(o, d, scene["center"], scene["r2"], eps)
-        tmin, hit, miss = reduce_hit(t)
+        o3, d3, tput, alive = state
+        tmin, hit, miss = hit_fn(o3, d3, scene, eps)
         # Miss => sphere_id -1 in the oracle, which wrap-indexes to the
         # last sphere in gathers (gen_data.py:343,390). jnp gather clamps
         # instead, so make it explicit.
-        gather_id = jnp.where(miss, s - 1, hit)
-        centers_hit = scene["center"][gather_id]
-        o2, d2 = shade.specular_bounce(o, d, tmin, centers_hit)
+        gid = jnp.where(miss, s - 1, hit)
+        center_hit = (cx[gid], cy[gid], cz[gid])
+        o3n, d3n = shade.specular_bounce(o3, d3, tmin, center_hit)
         # Mask update BEFORE throughput multiply (gen_data.py:379-390).
         hit_light = (hit == light) & ~miss
         alive2 = alive & ~hit_light
-        mult = scene["albedo"][gather_id]
-        throughput2 = jnp.where(alive2[:, None], throughput * mult, throughput)
-        return o2, d2, throughput2, alive2
+        mult = (ax[gid], ay[gid], az[gid])
+        tput2 = shade.v3_where(
+            alive2, (tput[0] * mult[0], tput[1] * mult[1], tput[2] * mult[2]), tput
+        )
+        return o3n, d3n, tput2, alive2
 
-    o, d, throughput, alive = jax.lax.fori_loop(
-        0, bounces, body, (o, d, throughput, alive), unroll=True
+    o3, d3, tput, alive = jax.lax.fori_loop(
+        0, bounces, body, (o3, d3, (tr, tg, tb), alive), unroll=True
     )
-    return throughput * scene["emission"][light][None, :]
+    emi = scene["emission"][light]
+    return jnp.stack([tput[0] * emi[0], tput[1] * emi[1], tput[2] * emi[2]], axis=1)
+
+
+def render_reference_impl(rays, scene: dict, *, bounces: int = 5, eps: float = 1e-4):
+    """Render with reference-kernel semantics.
+
+    Args:
+      rays: [N, 6] (ox oy oz dx dy dz).
+      scene: pytree from :func:`scene_to_device`.
+
+    Returns colors [N, 3] = throughput * light emission
+    (render.cpp:194-196).
+    """
+    o3, d3 = rays_to_soa(rays)
+    return reference_bounce_loop(o3, d3, scene, bounces=bounces, eps=eps)
+
+
+render_reference = jax.jit(render_reference_impl, static_argnames=("bounces", "eps"))
 
 
 # ------------------------------------------------------------------------
 # Full physically-based mode (north star)
 # ------------------------------------------------------------------------
-@partial(jax.jit, static_argnames=("bounces", "rr_depth", "eps"))
-def render_pt(
+def render_pt_impl(
     key,
     rays,
     scene: dict,
@@ -115,79 +162,80 @@ def render_pt(
     streams are independent via the [N]-shaped draws (sharding-stable when
     the caller derives ``key`` from global ray indices).
     """
-    o = rays[:, 0:3]
-    d = rays[:, 3:6]
-    n = o.shape[0]
+    o3, d3 = rays_to_soa(rays)
+    n = o3[0].shape[0]
+    dtype = o3[0].dtype
 
-    radiance = jnp.zeros((n, 3), rays.dtype)
-    throughput = jnp.ones((n, 3), rays.dtype)
-    alive = jnp.ones((n,), bool)
-
-    centers = scene["center"]
-    r2 = scene["r2"]
-    albedo = scene["albedo"]
-    emission = scene["emission"]
+    cx, cy, cz = _scene_planes(scene, "center")
+    ax, ay, az = _scene_planes(scene, "albedo")
+    ex, ey, ez = _scene_planes(scene, "emission")
     material = scene["material"]
 
+    zeros = jnp.zeros((n,), dtype)
+    ones = jnp.ones((n,), dtype)
+    rad = (zeros, zeros, zeros)
+    tput = (ones, ones, ones)
+    alive = jnp.ones((n,), bool)
+
     def body(depth, state):
-        key, o, d, radiance, throughput, alive = state
+        key, o3, d3, rad, tput, alive = state
         key, k1 = jax.random.split(key)
-        u = jax.random.uniform(k1, (n, 3), dtype=rays.dtype)
+        u = jax.random.uniform(k1, (3, n), dtype=dtype)
 
-        t = intersect_spheres(o, d, centers, r2, eps)
-        tmin, hit, miss = reduce_hit(t)
+        tmin, hit, miss = default_hit_fn(o3, d3, scene, eps)
         live = alive & ~miss
+        hit = jnp.where(miss, 0, hit)  # clamp for gathers; masked by live
 
-        hitpos = o + d * tmin[:, None]
-        ch = centers[hit]
-        normal = shade.normalize(hitpos - ch)
-        # Oriented normal (against the incoming ray).
-        into = jnp.sum(normal * d, axis=-1, keepdims=True) < 0
-        nl = jnp.where(into, normal, -normal)
+        hp = (o3[0] + d3[0] * tmin, o3[1] + d3[1] * tmin, o3[2] + d3[2] * tmin)
+        nrm = shade.v3_normalize(shade.v3_sub(hp, (cx[hit], cy[hit], cz[hit])))
+        dn = shade.v3_dot(d3, nrm)
+        into = dn < 0
+        nl = shade.v3_scale(nrm, jnp.where(into, 1.0, -1.0))
 
-        emit = emission[hit]
-        radiance = radiance + jnp.where(
-            live[:, None], throughput * emit, 0.0
+        # Accumulate emission of the surface we hit.
+        emit = (ex[hit], ey[hit], ez[hit])
+        rad = shade.v3_where(
+            live,
+            shade.v3_add(rad, (tput[0] * emit[0], tput[1] * emit[1], tput[2] * emit[2])),
+            rad,
         )
 
-        alb = albedo[hit]
+        alb = (ax[hit], ay[hit], az[hit])
         mat = material[hit]
-
-        # --- candidate next directions for each material ---------------
-        d_diff = shade.cosine_sample_hemisphere(nl, u[:, 0], u[:, 1])
-        d_spec = shade.reflect(d, normal)
-        d_refr, refr_scale = shade.refract_or_reflect(d, normal, nl, u[:, 0])
-
         is_diff = mat == DIFF
-        is_spec = mat == SPEC
         is_refr = mat == REFR
-        new_d = jnp.where(
-            is_diff[:, None], d_diff, jnp.where(is_spec[:, None], d_spec, d_refr)
-        )
+
+        d_diff = shade.cosine_sample_hemisphere(nl, u[0], u[1])
+        d_spec = shade.reflect(d3, nrm)
+        d_refr, refr_scale = shade.refract_or_reflect(d3, nrm, into, u[0])
+
+        new_d = shade.v3_where(is_diff, d_diff, shade.v3_where(is_refr, d_refr, d_spec))
         scale = jnp.where(is_refr, refr_scale, 1.0)
-        throughput = jnp.where(
-            live[:, None], throughput * alb * scale[:, None], throughput
+        tput2 = shade.v3_where(
+            live,
+            (tput[0] * alb[0] * scale, tput[1] * alb[1] * scale, tput[2] * alb[2] * scale),
+            tput,
         )
 
         # Russian roulette after rr_depth (unbiased).
-        def rr(args):
-            throughput, alive = args
-            tp, survive = shade.russian_roulette(throughput, u[:, 2])
-            return tp, alive & survive
+        tput_rr, survive = shade.russian_roulette(tput2, u[2])
+        do_rr = depth >= rr_depth
+        tput2 = shade.v3_where(do_rr, tput_rr, tput2)
+        alive2 = live & jnp.where(do_rr, survive, True)
 
-        throughput, alive_rr = jax.lax.cond(
-            depth >= rr_depth, rr, lambda a: a, (throughput, live)
-        )
-        alive = live & alive_rr
+        # Next origin: offset along the oriented normal (diffuse/specular)
+        # to avoid self-intersection; refractive rays may cross the
+        # surface, keep origin at the hit point.
+        off = jnp.where(is_refr, 0.0, eps)
+        new_o = shade.v3_add(hp, shade.v3_scale(nl, off))
+        o3 = shade.v3_where(live, new_o, o3)
+        d3 = shade.v3_where(live, new_d, d3)
+        return key, o3, d3, rad, tput2, alive2
 
-        new_o = hitpos + nl[:, 0:3] * eps * jnp.where(is_refr, -1.0, 1.0)[:, None]
-        # Offset along the oriented normal to avoid self-intersection;
-        # refractive rays may cross the surface so keep origin on hitpos.
-        new_o = jnp.where(is_refr[:, None], hitpos, new_o)
-        o = jnp.where(live[:, None], new_o, o)
-        d = jnp.where(live[:, None], new_d, d)
-        return key, o, d, radiance, throughput, alive
+    state = (key, o3, d3, rad, tput, alive)
+    state = jax.lax.fori_loop(0, bounces, body, state, unroll=True)
+    rad = state[3]
+    return jnp.stack(rad, axis=1)
 
-    state = (key, o, d, radiance, throughput, alive)
-    state = jax.lax.fori_loop(0, bounces, body, state)
-    return state[3]
+
+render_pt = jax.jit(render_pt_impl, static_argnames=("bounces", "rr_depth", "eps"))

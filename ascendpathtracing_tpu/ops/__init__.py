@@ -12,7 +12,19 @@ tiles, with ``Fake*`` workarounds for broken vendor intrinsics
 - Transpose 8x64 -> 64x8       -> an axis order choice, not an op
 """
 
-from ascendpathtracing_tpu.ops.intersect import intersect_spheres, reduce_hit
+from ascendpathtracing_tpu.ops.intersect import (
+    intersect_spheres,
+    intersect_spheres_soa,
+    reduce_hit,
+    reduce_hit_soa,
+)
 from ascendpathtracing_tpu.ops.shade import reflect, specular_bounce
 
-__all__ = ["intersect_spheres", "reduce_hit", "reflect", "specular_bounce"]
+__all__ = [
+    "intersect_spheres",
+    "intersect_spheres_soa",
+    "reduce_hit",
+    "reduce_hit_soa",
+    "reflect",
+    "specular_bounce",
+]

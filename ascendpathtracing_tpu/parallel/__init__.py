@@ -1,0 +1,35 @@
+"""Parallelism: device meshes, sharded rendering, multi-host utilities.
+
+The reference's only parallelism is 8 share-nothing in-chip cores claiming
+disjoint ray slices by ``GetBlockIdx()`` (render.cpp:9,24) — zero
+inter-core communication.  Here parallelism is first-class (SURVEY §2.5):
+
+- **DP over rays** ("data" mesh axis): each chip renders a contiguous ray
+  shard — the multi-chip generalization of the reference's core blocking.
+- **TP over spheres/primitives** ("model" mesh axis): the intersection
+  test is sharded over scene primitives; per-shard nearest hits are
+  combined with an ``all_gather`` over ICI and a lexicographic
+  (t, global index) reduction that preserves the reference's
+  lowest-index tie-break.
+- **Gradient psum** over the whole mesh for the differentiable pass,
+  overlapped with the backward by XLA's latency-hiding scheduler.
+- **Multi-host**: ``jax.distributed.initialize`` + per-host data feeding
+  (``distributed.py``).
+"""
+
+from ascendpathtracing_tpu.parallel.mesh import make_mesh, mesh_shape_for
+from ascendpathtracing_tpu.parallel.sharded import (
+    make_train_step,
+    render_reference_sharded,
+    shard_rays,
+    split_scene_params,
+)
+
+__all__ = [
+    "make_mesh",
+    "mesh_shape_for",
+    "make_train_step",
+    "render_reference_sharded",
+    "shard_rays",
+    "split_scene_params",
+]

@@ -1,0 +1,104 @@
+"""Benchmark harness — the BASELINE.json headline metric.
+
+Measures forward+backward throughput of the differentiable renderer at
+8 bounces on the Cornell scene, in primary Mrays/s per chip, on whatever
+device JAX finds (the real TPU under the driver).  Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N}
+
+``vs_baseline`` is relative to the BASELINE.json north-star target of
+100 Mrays/s/chip fwd+bwd @ 8 bounces (the reference itself publishes no
+performance numbers — BASELINE.md).
+
+Usage: python bench.py [--rays N] [--iters K] [--bounces B] [--mode pt|reference]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--rays", type=int, default=1 << 20, help="primary rays per step")
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--warmup", type=int, default=2)
+    p.add_argument("--bounces", type=int, default=8)
+    p.add_argument("--mode", choices=["pt", "reference"], default="pt")
+    p.add_argument("--fwd-only", action="store_true")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ascendpathtracing_tpu import camera, scenes
+    from ascendpathtracing_tpu.models import megakernel
+    from ascendpathtracing_tpu.parallel.sharded import split_scene_params
+
+    n = args.rays
+    # Square-ish image covering n rays (n = w*h*4 with samples=1).
+    w = h = int(np.sqrt(n / 4))
+    n = w * h * 4
+
+    rays = jnp.asarray(
+        camera.generate_rays_numpy(w, h, 1, seed=0).astype(np.float32)
+    )
+    scene_name = "cornell8" if args.mode == "reference" else "smallpt9"
+    scene = megakernel.scene_to_device(scenes.get_scene(scene_name))
+    params, aux = split_scene_params(scene)
+    key = jax.random.PRNGKey(0)
+
+    if args.mode == "pt":
+
+        def fwd(params, key):
+            sc = {**params, **aux}
+            return megakernel.render_pt_impl(key, rays, sc, bounces=args.bounces)
+
+    else:
+
+        def fwd(params, key):
+            sc = {**params, **aux}
+            return megakernel.render_reference_impl(rays, sc, bounces=args.bounces)
+
+    if args.fwd_only:
+        step = jax.jit(lambda p, k: jnp.sum(fwd(p, k)))
+        tag = "fwd"
+    else:
+        step = jax.jit(jax.value_and_grad(lambda p, k: jnp.sum(fwd(p, k))))
+        tag = "fwd+bwd"
+
+    # Warmup / compile.
+    for i in range(args.warmup):
+        out = step(params, jax.random.fold_in(key, i))
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        out = step(params, jax.random.fold_in(key, 100 + i))
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / args.iters
+
+    mrays = n / dt / 1e6
+    result = {
+        "metric": f"Mrays/s/chip {tag} @ {args.bounces} bounces ({scene_name})",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / 100.0, 4),
+        "detail": {
+            "backend": jax.default_backend(),
+            "device": str(jax.devices()[0]),
+            "rays_per_step": n,
+            "step_ms": round(dt * 1e3, 3),
+            "iters": args.iters,
+            "mode": args.mode,
+        },
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

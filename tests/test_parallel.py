@@ -1,0 +1,95 @@
+"""Multi-device sharding tests on the 8-virtual-CPU-device mesh
+(conftest.py sets --xla_force_host_platform_device_count=8 — the analogue
+of the reference's tikicpulib CPU-sim of its 8 cores, SURVEY §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ascendpathtracing_tpu import camera, scenes
+from ascendpathtracing_tpu.models import megakernel
+from ascendpathtracing_tpu.parallel import (
+    make_mesh,
+    render_reference_sharded,
+    shard_rays,
+)
+from ascendpathtracing_tpu.parallel.sharded import make_train_step, split_scene_params
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _need_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+
+def _rays64(w=32, h=32):
+    # float64 for stable (chaos-free) cross-topology comparison — see
+    # test_reference_parity.py docstring.
+    return camera.generate_rays_numpy(w, h, 1, seed=0)
+
+
+def test_mesh_construction():
+    mesh = make_mesh(8)
+    assert mesh.shape == {"data": 4, "model": 2}
+    mesh1 = make_mesh(8, model_parallel=1)
+    assert mesh1.shape == {"data": 8, "model": 1}
+
+
+@pytest.mark.parametrize("model_parallel", [1, 2, 4])
+def test_sharded_render_matches_single_device(model_parallel):
+    """DP x TP sharded render must equal the single-device render exactly
+    (float64; includes the TP tie-break path)."""
+    mesh = make_mesh(8, model_parallel=model_parallel)
+    rays = _rays64()
+    dev = megakernel.scene_to_device(scenes.cornell8(), dtype=jnp.float64)
+    expect = np.asarray(megakernel.render_reference(rays, dev, bounces=5))
+    rays_sh = shard_rays(rays, mesh)
+    got = np.asarray(render_reference_sharded(rays_sh, dev, mesh, bounces=5))
+    np.testing.assert_array_equal(expect, got)
+
+
+def test_train_step_runs_and_reduces_loss():
+    mesh = make_mesh(8)
+    rays = _rays64(16, 16)
+    scene = megakernel.scene_to_device(scenes.cornell8(), dtype=jnp.float64)
+    target = megakernel.render_reference(rays, scene, bounces=3)
+    params, aux = split_scene_params(scene)
+    # Perturb albedo; training should pull the loss down.
+    params = dict(params, albedo=params["albedo"] + 0.05)
+    step = make_train_step(mesh, bounces=3, learning_rate=0.02)
+    rays_sh = shard_rays(jnp.asarray(rays), mesh)
+    target_sh = shard_rays(target, mesh)
+
+    losses = []
+    for _ in range(10):
+        loss, params = step(params, aux, rays_sh, target_sh)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+
+
+def test_sharded_grads_match_single_device():
+    """GSPMD-sharded gradient == single-device gradient (float64 exact-ish)."""
+    rays = jnp.asarray(_rays64(16, 16))
+    scene = megakernel.scene_to_device(scenes.cornell8(), dtype=jnp.float64)
+    target = megakernel.render_reference(rays, scene, bounces=3)
+    params, aux = split_scene_params(scene)
+    params = dict(params, albedo=params["albedo"] + 0.03)
+
+    step1 = make_train_step(None, bounces=3, learning_rate=1.0)
+    loss1, new1 = step1({k: v.copy() for k, v in params.items()}, aux, rays, target)
+
+    mesh = make_mesh(8)
+    stepn = make_train_step(mesh, bounces=3, learning_rate=1.0)
+    loss_n, new_n = stepn(
+        {k: v.copy() for k, v in params.items()},
+        aux,
+        shard_rays(rays, mesh),
+        shard_rays(target, mesh),
+    )
+    assert np.isclose(float(loss1), float(loss_n), rtol=1e-12)
+    for k in new1:
+        np.testing.assert_allclose(
+            np.asarray(new1[k]), np.asarray(new_n[k]), rtol=1e-9, atol=1e-12
+        )
