@@ -103,7 +103,23 @@ def cmd_render(args) -> int:
 
     dev = megakernel.scene_to_device(scene)
     t0 = time.time()
-    if args.mode == "reference":
+    if args.renderer == "pallas":
+        if args.mode != "reference":
+            print("error: --renderer pallas supports --mode reference only",
+                  file=sys.stderr)
+            return 2
+        from ascendpathtracing_tpu.ops import pallas_kernels
+
+        colors = pallas_kernels.render_reference_pallas(
+            jax.numpy.asarray(rays),
+            jax.numpy.asarray(scene.soa10()),
+            light_index=scene.light_index,
+            bounces=args.bounces,
+            tile=1024,
+            # No Mosaic on CPU: fall back to the Pallas interpreter there.
+            interpret=(jax.default_backend() == "cpu"),
+        )
+    elif args.mode == "reference":
         colors = megakernel.render_reference(rays, dev, bounces=args.bounces)
     else:
         key = jax.random.PRNGKey(args.seed)
@@ -120,6 +136,7 @@ def cmd_render(args) -> int:
         "backend": jax.default_backend(),
         "scene": scene_name,
         "mode": args.mode,
+        "renderer": args.renderer,
         "rays": n_rays,
         "bounces": args.bounces,
         "gen_s": round(t_gen, 4),

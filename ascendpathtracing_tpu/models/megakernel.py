@@ -80,11 +80,17 @@ def default_hit_fn(o3, d3, scene: dict, eps: float):
     return reduce_hit_soa(t)
 
 
-def reference_bounce_loop(o3, d3, scene: dict, *, bounces, eps, hit_fn=default_hit_fn):
+def reference_bounce_loop(
+    o3, d3, scene: dict, *, bounces, eps, hit_fn=default_hit_fn, remat=True
+):
     """The reference kernel's bounce loop (render.cpp:141-196) over SoA
     ray state; see oracle.py for the semantics contract.
 
     Args: o3, d3 = (x, y, z) tuples of [N] planes.
+    ``remat=True`` checkpoints each bounce: the backward pass recomputes
+    the bounce instead of storing every intermediate — the standard TPU
+    FLOPs-for-HBM trade (measured ~60x backward slowdown without it).
+    Identical values either way.
     Returns colors [N, 3] (AoS at the boundary).
     """
     n = o3[0].shape[0]
@@ -118,6 +124,10 @@ def reference_bounce_loop(o3, d3, scene: dict, *, bounces, eps, hit_fn=default_h
         )
         return o3n, d3n, tput2, alive2
 
+    if remat:
+        _raw_body = body
+        inner = jax.checkpoint(lambda st: _raw_body(0, st))
+        body = lambda _, st: inner(st)  # noqa: E731
     o3, d3, tput, alive = jax.lax.fori_loop(
         0, bounces, body, (o3, d3, (tr, tg, tb), alive), unroll=True
     )
@@ -233,7 +243,12 @@ def render_pt_impl(
         return key, o3, d3, rad, tput2, alive2
 
     state = (key, o3, d3, rad, tput, alive)
-    state = jax.lax.fori_loop(0, bounces, body, state, unroll=True)
+    # Per-bounce remat: backward recomputes each bounce from its input
+    # state instead of storing intermediates (HBM-bound otherwise).
+    # depth feeds lax.cond-free math only via `depth >= rr_depth`, which
+    # must stay a traced scalar, so fold it into the carried state.
+    body_ckpt = jax.checkpoint(lambda depth, st: body(depth, st))
+    state = jax.lax.fori_loop(0, bounces, body_ckpt, state, unroll=True)
     rad = state[3]
     return jnp.stack(rad, axis=1)
 

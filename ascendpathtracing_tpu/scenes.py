@@ -55,7 +55,7 @@ class SphereScene:
         """Squared radius — the on-disk / on-device layout (gen_data.py:109)."""
         return self.radius * self.radius
 
-    def soa10(self) -> np.ndarray:
+    def soa10(self, dtype=np.float32) -> np.ndarray:
         """[10, S] plane layout: r^2, x, y, z, ex, ey, ez, cx, cy, cz.
 
         This is the exact plane order of the reference's spheres.bin
@@ -64,16 +64,16 @@ class SphereScene:
         """
         planes = np.stack(
             [
-                np.asarray(self.r2, np.float32),
-                np.asarray(self.center[:, 0], np.float32),
-                np.asarray(self.center[:, 1], np.float32),
-                np.asarray(self.center[:, 2], np.float32),
-                np.asarray(self.emission[:, 0], np.float32),
-                np.asarray(self.emission[:, 1], np.float32),
-                np.asarray(self.emission[:, 2], np.float32),
-                np.asarray(self.color[:, 0], np.float32),
-                np.asarray(self.color[:, 1], np.float32),
-                np.asarray(self.color[:, 2], np.float32),
+                np.asarray(self.r2, dtype),
+                np.asarray(self.center[:, 0], dtype),
+                np.asarray(self.center[:, 1], dtype),
+                np.asarray(self.center[:, 2], dtype),
+                np.asarray(self.emission[:, 0], dtype),
+                np.asarray(self.emission[:, 1], dtype),
+                np.asarray(self.emission[:, 2], dtype),
+                np.asarray(self.color[:, 0], dtype),
+                np.asarray(self.color[:, 1], dtype),
+                np.asarray(self.color[:, 2], dtype),
             ],
             axis=0,
         )

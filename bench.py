@@ -27,6 +27,11 @@ def main(argv=None) -> int:
     p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--bounces", type=int, default=8)
     p.add_argument("--mode", choices=["pt", "reference"], default="pt")
+    p.add_argument(
+        "--renderer", choices=["jit", "pallas"], default="jit",
+        help="pallas = hand-fused VMEM megakernel (reference mode, fwd only)",
+    )
+    p.add_argument("--tile", type=int, default=2048, help="pallas ray tile")
     p.add_argument("--fwd-only", action="store_true")
     args = p.parse_args(argv)
 
@@ -50,6 +55,43 @@ def main(argv=None) -> int:
     scene = megakernel.scene_to_device(scenes.get_scene(scene_name))
     params, aux = split_scene_params(scene)
     key = jax.random.PRNGKey(0)
+
+    if args.renderer == "pallas":
+        if args.mode != "reference" or not args.fwd_only:
+            print("note: pallas renderer implies --mode reference --fwd-only",
+                  file=sys.stderr)
+        from ascendpathtracing_tpu.ops import pallas_kernels
+
+        scene_obj = scenes.get_scene("cornell8")
+        planes = jnp.asarray(scene_obj.soa10())
+        rays_planes = jnp.transpose(rays)
+
+        def pallas_step(planes):
+            return pallas_kernels.render_reference_pallas_planes(
+                rays_planes, planes, light_index=scene_obj.light_index,
+                bounces=args.bounces, tile=args.tile,
+            )
+
+        step = jax.jit(pallas_step)
+        for i in range(args.warmup):
+            out = step(planes)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            out = step(planes)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / args.iters
+        mrays = n / dt / 1e6
+        print(json.dumps({
+            "metric": f"Mrays/s/chip fwd @ {args.bounces} bounces (cornell8, pallas)",
+            "value": round(mrays, 3),
+            "unit": "Mrays/s",
+            "vs_baseline": round(mrays / 100.0, 4),
+            "detail": {"backend": jax.default_backend(),
+                       "rays_per_step": n, "step_ms": round(dt * 1e3, 3),
+                       "tile": args.tile, "renderer": "pallas"},
+        }))
+        return 0
 
     if args.mode == "pt":
 
