@@ -1,0 +1,91 @@
+"""Procedural test meshes (host-side, NumPy)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def cube(center=(0.0, 0.0, 0.0), size=1.0):
+    """Axis-aligned cube: 8 vertices, 12 triangles."""
+    c = np.asarray(center, np.float64)
+    h = size / 2.0
+    corners = np.array(
+        [
+            [-1, -1, -1], [1, -1, -1], [1, 1, -1], [-1, 1, -1],
+            [-1, -1, 1], [1, -1, 1], [1, 1, 1], [-1, 1, 1],
+        ],
+        np.float64,
+    )
+    v = c + corners * h
+    f = np.array(
+        [
+            [0, 1, 2], [0, 2, 3],  # back  (z-)
+            [4, 6, 5], [4, 7, 6],  # front (z+)
+            [0, 4, 5], [0, 5, 1],  # bottom
+            [3, 2, 6], [3, 6, 7],  # top
+            [0, 3, 7], [0, 7, 4],  # left
+            [1, 5, 6], [1, 6, 2],  # right
+        ],
+        np.int64,
+    )
+    return v, f
+
+
+def icosphere(center=(0.0, 0.0, 0.0), radius=1.0, subdivisions=2):
+    """Subdivided icosahedron (80/320/1280 tris at subdivisions 1/2/3)."""
+    t = (1.0 + np.sqrt(5.0)) / 2.0
+    verts = np.array(
+        [
+            [-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+            [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+            [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1],
+        ],
+        np.float64,
+    )
+    verts /= np.linalg.norm(verts[0])
+    faces = np.array(
+        [
+            [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+            [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+            [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+            [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1],
+        ],
+        np.int64,
+    )
+    for _ in range(subdivisions):
+        vlist = list(verts)
+        cache: dict = {}
+        new_faces = []
+
+        def midpoint(a, b):
+            key = (min(a, b), max(a, b))
+            if key not in cache:
+                m = (verts[a] + verts[b]) / 2.0
+                m = m / np.linalg.norm(m)
+                cache[key] = len(vlist)
+                vlist.append(m)
+            return cache[key]
+
+        for a, b, c in faces:
+            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+            new_faces += [[a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca]]
+        verts = np.asarray(vlist)
+        faces = np.asarray(new_faces, np.int64)
+    return np.asarray(center, np.float64) + verts * radius, faces
+
+
+def quad(p0, p1, p2, p3):
+    """Two-triangle quad from 4 corners (counter-clockwise)."""
+    v = np.asarray([p0, p1, p2, p3], np.float64)
+    f = np.array([[0, 1, 2], [0, 2, 3]], np.int64)
+    return v, f
+
+
+def merge(*meshes):
+    """Concatenate (vertices, faces) pairs into one mesh."""
+    vs, fs, off = [], [], 0
+    for v, f in meshes:
+        vs.append(np.asarray(v, np.float64))
+        fs.append(np.asarray(f, np.int64) + off)
+        off += len(v)
+    return np.concatenate(vs), np.concatenate(fs)

@@ -1,0 +1,117 @@
+"""ctypes bindings for the native (C++) host components.
+
+The shared library is built on demand with ``make`` (g++); if the
+toolchain or binary is unavailable every caller falls back to the NumPy
+implementations (accel/bvh.py), so the framework never hard-requires the
+native path — mirroring the reference's CPU-sim fallback philosophy
+(SURVEY §4.1).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
+_LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libaptnative.so"))
+_lock = threading.Lock()
+_lib = None
+
+
+class NativeUnavailable(RuntimeError):
+    pass
+
+
+def _load() -> ctypes.CDLL:
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_LIB_PATH):
+            try:
+                subprocess.run(
+                    ["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+            except Exception as e:  # noqa: BLE001
+                raise NativeUnavailable(f"native build failed: {e}") from e
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError as e:
+            raise NativeUnavailable(f"cannot load {_LIB_PATH}: {e}") from e
+        lib.apt_build_bvh.restype = ctypes.c_int32
+        lib.apt_build_bvh.argtypes = [
+            ctypes.POINTER(ctypes.c_float),  # tri_verts
+            ctypes.c_int32,  # n_tris
+            ctypes.c_int32,  # max_leaf
+            ctypes.c_int32,  # n_bins
+            ctypes.POINTER(ctypes.c_float),  # bmin
+            ctypes.POINTER(ctypes.c_float),  # bmax
+            ctypes.POINTER(ctypes.c_int32),  # first
+            ctypes.POINTER(ctypes.c_int32),  # count
+            ctypes.POINTER(ctypes.c_int32),  # miss
+            ctypes.POINTER(ctypes.c_int32),  # tri_order
+            ctypes.c_int32,  # max_nodes
+        ]
+        _lib = lib
+        return lib
+
+
+def is_available() -> bool:
+    try:
+        _load()
+        return True
+    except NativeUnavailable:
+        return False
+
+
+def build_bvh_native(vertices, faces, *, max_leaf: int = 4, n_bins: int = 16):
+    """C++ binned-SAH builder; same output contract as build_bvh_numpy."""
+    from ascendpathtracing_tpu.accel.bvh import FlatBVH
+
+    lib = _load()
+    vertices = np.ascontiguousarray(vertices, np.float32)
+    faces = np.asarray(faces, np.int64)
+    f = faces.shape[0]
+    tri_verts = np.ascontiguousarray(vertices[faces], np.float32)  # [F,3,3]
+
+    max_nodes = max(2 * f, 16)
+    bmin = np.empty((max_nodes, 3), np.float32)
+    bmax = np.empty((max_nodes, 3), np.float32)
+    first = np.empty(max_nodes, np.int32)
+    count = np.empty(max_nodes, np.int32)
+    miss = np.empty(max_nodes, np.int32)
+    order = np.empty(max(f, 1), np.int32)
+
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int32)
+    m = lib.apt_build_bvh(
+        tri_verts.ctypes.data_as(fp),
+        f,
+        max_leaf,
+        n_bins,
+        bmin.ctypes.data_as(fp),
+        bmax.ctypes.data_as(fp),
+        first.ctypes.data_as(ip),
+        count.ctypes.data_as(ip),
+        miss.ctypes.data_as(ip),
+        order.ctypes.data_as(ip),
+        max_nodes,
+    )
+    if m < 0:
+        raise RuntimeError("apt_build_bvh: node buffer too small")
+    return FlatBVH(
+        bmin=bmin[:m].copy(),
+        bmax=bmax[:m].copy(),
+        first=first[:m].copy(),
+        count=count[:m].copy(),
+        miss=miss[:m].copy(),
+        tri_order=order[:f].copy(),
+        max_leaf=max_leaf,
+    )

@@ -34,7 +34,11 @@ def _parse_args(argv):
     r.add_argument("--samples", type=int, default=1)
     r.add_argument("--bounces", type=int, default=5)
     r.add_argument("--mode", choices=["reference", "pt"], default="reference")
-    r.add_argument("--scene", default=None, help="default: cornell8 (reference) / smallpt9 (pt)")
+    r.add_argument(
+        "--scene", default=None,
+        help="default: cornell8 (reference) / smallpt9 (pt); pt mode also "
+        "accepts mesh demos: mesh-cube, mesh-icosphere",
+    )
     r.add_argument("--seed", type=int, default=0)
     r.add_argument("--backend", choices=["auto", "cpu", "tpu"], default="auto")
     r.add_argument("--renderer", choices=["jit", "pallas", "wavefront"], default="jit")
@@ -88,11 +92,33 @@ def cmd_render(args) -> int:
     from ascendpathtracing_tpu.utils import io
 
     scene_name = args.scene or ("cornell8" if args.mode == "reference" else "smallpt9")
-    try:
-        scene = scenes.get_scene(scene_name)
-    except KeyError as e:
-        print(f"error: {e.args[0]}", file=sys.stderr)
-        return 2
+    mesh_scene = None
+    if scene_name.startswith("mesh-"):
+        if args.mode != "pt":
+            print("error: mesh scenes require --mode pt", file=sys.stderr)
+            return 2
+        from ascendpathtracing_tpu.accel import meshes as mesh_lib
+        from ascendpathtracing_tpu.models import mesh as mesh_mod
+
+        kind = scene_name[len("mesh-"):]
+        if kind == "cube":
+            v, f = mesh_lib.cube(center=(50, 30, 60), size=25.0)
+        elif kind == "icosphere":
+            v, f = mesh_lib.icosphere(center=(50, 40, 60), radius=14.0, subdivisions=3)
+        else:
+            print(f"error: unknown mesh scene {scene_name!r} "
+                  "(mesh-cube, mesh-icosphere)", file=sys.stderr)
+            return 2
+        mesh_scene = mesh_mod.MeshScene.cornell_with_mesh(
+            v, f, albedo=(0.85, 0.55, 0.2)
+        )
+        scene = mesh_scene.spheres
+    else:
+        try:
+            scene = scenes.get_scene(scene_name)
+        except KeyError as e:
+            print(f"error: {e.args[0]}", file=sys.stderr)
+            return 2
     w, h, s = args.width, args.height, args.samples
 
     t0 = time.time()
@@ -121,6 +147,12 @@ def cmd_render(args) -> int:
         )
     elif args.mode == "reference":
         colors = megakernel.render_reference(rays, dev, bounces=args.bounces)
+    elif mesh_scene is not None:
+        from ascendpathtracing_tpu.models import mesh as mesh_mod
+
+        mdev = mesh_mod.mesh_scene_to_device(mesh_scene)
+        key = jax.random.PRNGKey(args.seed)
+        colors = mesh_mod.render_pt_mesh(key, rays, mdev, bounces=args.bounces)
     else:
         key = jax.random.PRNGKey(args.seed)
         colors = megakernel.render_pt(key, rays, dev, bounces=args.bounces)

@@ -68,6 +68,20 @@ def _scene_planes(scene, key):
     return (arr[:, 0], arr[:, 1], arr[:, 2])
 
 
+def select_by_id(gid, plane):
+    """Gather ``plane[gid]`` as an unrolled select-chain over the (small,
+    static) sphere axis.  Functionally identical to ``plane[gid]`` but its
+    transpose is a masked SUM instead of a scatter-add — XLA TPU scatters
+    serialize and dominated the backward pass (measured ~60x fwd cost);
+    with select-chains the whole backward is VPU reductions.
+    ``gid`` must be in range."""
+    s = plane.shape[0]
+    acc = jnp.zeros(gid.shape, plane.dtype)
+    for i in range(s):
+        acc = jnp.where(gid == i, plane[i], acc)
+    return acc
+
+
 # ------------------------------------------------------------------------
 # Reference-parity mode
 # ------------------------------------------------------------------------
@@ -113,12 +127,16 @@ def reference_bounce_loop(
         # last sphere in gathers (gen_data.py:343,390). jnp gather clamps
         # instead, so make it explicit.
         gid = jnp.where(miss, s - 1, hit)
-        center_hit = (cx[gid], cy[gid], cz[gid])
+        center_hit = (
+            select_by_id(gid, cx),
+            select_by_id(gid, cy),
+            select_by_id(gid, cz),
+        )
         o3n, d3n = shade.specular_bounce(o3, d3, tmin, center_hit)
         # Mask update BEFORE throughput multiply (gen_data.py:379-390).
         hit_light = (hit == light) & ~miss
         alive2 = alive & ~hit_light
-        mult = (ax[gid], ay[gid], az[gid])
+        mult = (select_by_id(gid, ax), select_by_id(gid, ay), select_by_id(gid, az))
         tput2 = shade.v3_where(
             alive2, (tput[0] * mult[0], tput[1] * mult[1], tput[2] * mult[2]), tput
         )
@@ -197,21 +215,22 @@ def render_pt_impl(
         hit = jnp.where(miss, 0, hit)  # clamp for gathers; masked by live
 
         hp = (o3[0] + d3[0] * tmin, o3[1] + d3[1] * tmin, o3[2] + d3[2] * tmin)
-        nrm = shade.v3_normalize(shade.v3_sub(hp, (cx[hit], cy[hit], cz[hit])))
+        chit = (select_by_id(hit, cx), select_by_id(hit, cy), select_by_id(hit, cz))
+        nrm = shade.v3_normalize(shade.v3_sub(hp, chit))
         dn = shade.v3_dot(d3, nrm)
         into = dn < 0
         nl = shade.v3_scale(nrm, jnp.where(into, 1.0, -1.0))
 
         # Accumulate emission of the surface we hit.
-        emit = (ex[hit], ey[hit], ez[hit])
+        emit = (select_by_id(hit, ex), select_by_id(hit, ey), select_by_id(hit, ez))
         rad = shade.v3_where(
             live,
             shade.v3_add(rad, (tput[0] * emit[0], tput[1] * emit[1], tput[2] * emit[2])),
             rad,
         )
 
-        alb = (ax[hit], ay[hit], az[hit])
-        mat = material[hit]
+        alb = (select_by_id(hit, ax), select_by_id(hit, ay), select_by_id(hit, az))
+        mat = select_by_id(hit, material)
         is_diff = mat == DIFF
         is_refr = mat == REFR
 
