@@ -170,6 +170,22 @@ def render_reference_impl(rays, scene: dict, *, bounces: int = 5, eps: float = 1
 render_reference = jax.jit(render_reference_impl, static_argnames=("bounces", "eps"))
 
 
+def render_depth_impl(rays, scene: dict, *, eps: float = 1e-4):
+    """First-hit depth AOV: t per ray (0 on miss).
+
+    Unlike the radiance output — which is a product of discretely-gathered
+    albedos, hence piecewise CONSTANT in geometry/camera parameters — the
+    depth map depends continuously on them, so it is the right observable
+    for geometry/camera gradient gates (and a standard AOV for users).
+    """
+    o3, d3 = rays_to_soa(rays)
+    tmin, hit, miss = default_hit_fn(o3, d3, scene, eps)
+    return jnp.where(miss, 0.0, tmin)
+
+
+render_depth = jax.jit(render_depth_impl, static_argnames=("eps",))
+
+
 # ------------------------------------------------------------------------
 # Full physically-based mode (north star)
 # ------------------------------------------------------------------------
