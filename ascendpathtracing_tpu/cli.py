@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -44,6 +45,21 @@ def _parse_args(argv):
     r.add_argument("--renderer", choices=["jit", "pallas", "wavefront"], default="jit")
     r.add_argument("--out", default="output")
     r.add_argument("--oracle", action="store_true", help="also run the NumPy oracle and report parity")
+
+    t = sub.add_parser(
+        "train",
+        help="inverse-rendering demo: recover perturbed scene albedo from "
+        "a target render (exercises the differentiable pass + checkpoint)",
+    )
+    t.add_argument("--width", type=int, default=32)
+    t.add_argument("--height", type=int, default=32)
+    t.add_argument("--bounces", type=int, default=3)
+    t.add_argument("--steps", type=int, default=50)
+    t.add_argument("--lr", type=float, default=0.05)
+    t.add_argument("--backend", choices=["auto", "cpu", "tpu"], default="auto")
+    t.add_argument("--ckpt", default="output/ckpt.npz")
+    t.add_argument("--resume", action="store_true")
+    t.add_argument("--ckpt-every", type=int, default=20)
 
     o = sub.add_parser("oracle", help="run only the NumPy oracle")
     o.add_argument("--width", type=int, default=16)
@@ -205,10 +221,55 @@ def cmd_oracle(args) -> int:
     return 0
 
 
+def cmd_train(args) -> int:
+    jax = _setup_backend(args.backend)
+    import numpy as np
+
+    from ascendpathtracing_tpu import camera, scenes
+    from ascendpathtracing_tpu.models import megakernel
+    from ascendpathtracing_tpu.parallel.sharded import make_train_step, split_scene_params
+    from ascendpathtracing_tpu.utils import checkpoint as ckpt
+
+    rays = camera.generate_rays_numpy(args.width, args.height, 1, seed=0).astype(
+        np.float32
+    )
+    scene = megakernel.scene_to_device(scenes.get_scene("cornell8"))
+    target = megakernel.render_reference(rays, scene, bounces=args.bounces)
+    params, aux = split_scene_params(scene)
+
+    start_step = 0
+    if args.resume and os.path.exists(args.ckpt):
+        params, start_step, _ = ckpt.load_checkpoint(args.ckpt)
+        params = {k: jax.numpy.asarray(v) for k, v in params.items()}
+        print(f"resumed from {args.ckpt} at step {start_step}", file=sys.stderr)
+    else:
+        # perturb albedo; training should recover it
+        params = dict(params, albedo=params["albedo"] + 0.08)
+
+    step_fn = make_train_step(None, bounces=args.bounces, learning_rate=args.lr)
+    loss = float("nan")
+    for i in range(start_step, start_step + args.steps):
+        loss, params = step_fn(params, aux, rays, target)
+        if (i + 1) % args.ckpt_every == 0 or i + 1 == start_step + args.steps:
+            ckpt.save_checkpoint(args.ckpt, jax.tree.map(lambda x: x, params), step=i + 1)
+        if (i + 1) % 10 == 0:
+            print(f"step {i+1} loss {float(loss):.6e}", file=sys.stderr)
+    err = float(jax.numpy.abs(params["albedo"] - scene["albedo"]).max())
+    print(json.dumps({
+        "steps": args.steps,
+        "final_loss": float(loss),
+        "albedo_max_err": err,
+        "ckpt": args.ckpt,
+    }))
+    return 0
+
+
 def main(argv=None) -> int:
     args = _parse_args(sys.argv[1:] if argv is None else argv)
     if args.cmd == "render":
         return cmd_render(args)
+    if args.cmd == "train":
+        return cmd_train(args)
     if args.cmd == "oracle":
         return cmd_oracle(args)
     return 1

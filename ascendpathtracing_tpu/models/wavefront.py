@@ -1,0 +1,222 @@
+"""Wavefront path tracer with ray compaction and regeneration.
+
+The north-star upgrade over the reference's carry-dead-rays masking
+(rt_helper.h:787-810): a persistent ray pool of static size P streams the
+whole sample set (BASELINE config 2: 1024x1024 x 64 spp) through
+per-bounce passes; dead rays are compacted out (stable sort on the alive
+mask) and their slots refilled with fresh camera samples generated
+on-device from the global sample counter.
+
+TPU notes (why this exists AND why the megakernel often wins there):
+lane-masking on the VPU costs only wasted lanes, so compaction pays off
+when per-bounce work is heavily divergent (large BVH scenes, expensive
+materials) or when the sample set vastly exceeds device memory as one
+batch.  Both renderers share ops/; bench.py measures both.  Sample
+accumulation uses one scatter-add per iteration (dying rays -> their
+pixel), the only scatter in the framework.
+
+RNG: each sample's jitter/BSDF draws derive from fold_in(key, global
+sample index), so results are independent of pool size, iteration order
+and compaction permutation — and identical across shardings (SURVEY §7
+hard-part 6).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ascendpathtracing_tpu.camera import Camera
+from ascendpathtracing_tpu.models import megakernel
+from ascendpathtracing_tpu.models.megakernel import select_by_id
+from ascendpathtracing_tpu.ops import shade
+from ascendpathtracing_tpu.scenes import DIFF, REFR
+
+
+def _sample_camera_rays(sample_idx, width, height, spp4, key, cam: Camera, dtype):
+    """Camera ray for global sample indices [P] (on-device, RNG keyed by
+    sample index). Layout matches camera.generate_rays_numpy: index =
+    ((i*h + j)*2 + sy)*2*s + sx*s + k."""
+    import numpy as np
+
+    pos, d0, cx, cy = cam.basis(width, height)
+    s = spp4 // 4
+    idx = sample_idx
+    sx = (idx // s) % 2
+    sy = (idx // (2 * s)) % 2
+    j_idx = (idx // (4 * s)) % height
+    i_idx = idx // (4 * s * height)
+
+    bits = jax.random.fold_in(key, 0)
+    # per-sample independent uniforms via threefry on the index
+    u = jax.vmap(lambda i: jax.random.uniform(jax.random.fold_in(bits, i), (2,),
+                                              dtype=dtype))(idx)
+    r1 = 2.0 * u[:, 0]
+    r2 = 2.0 * u[:, 1]
+    dx = jnp.where(r1 < 1, jnp.sqrt(r1) - 1, 1 - jnp.sqrt(jnp.maximum(2 - r1, 0)))
+    dy = jnp.where(r2 < 1, jnp.sqrt(r2) - 1, 1 - jnp.sqrt(jnp.maximum(2 - r2, 0)))
+
+    su = ((sx + 0.5 + dx) / 2.0 + i_idx) / width - 0.5
+    sv = ((sy + 0.5 + dy) / 2.0 + j_idx) / height - 0.5
+    cxj, d0j, cyj, posj = (jnp.asarray(v, dtype) for v in (cx, d0, cy, pos))
+    ddx = su * cxj[0] + sv * cyj[0] + d0j[0]
+    ddy = su * cxj[1] + sv * cyj[1] + d0j[1]
+    ddz = su * cxj[2] + sv * cyj[2] + d0j[2]
+    ox = posj[0] + ddx * cam.origin_push
+    oy = posj[1] + ddy * cam.origin_push
+    oz = posj[2] + ddz * cam.origin_push
+    inv = jax.lax.rsqrt(ddx * ddx + ddy * ddy + ddz * ddz)
+    pixel = (i_idx * height + j_idx).astype(jnp.int32)
+    sample_in_pixel = (idx % (4 * s)).astype(jnp.int32)
+    return (ox, oy, oz), (ddx * inv, ddy * inv, ddz * inv), pixel, sample_in_pixel
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "spp4", "pool", "bounces", "rr_depth", "eps",
+        "compact",
+    ),
+)
+def render_wavefront(
+    key,
+    scene: dict,
+    *,
+    width: int,
+    height: int,
+    spp4: int,  # samples per pixel (the reference counts 4*samples)
+    pool: int = 1 << 18,
+    bounces: int = 8,
+    rr_depth: int = 5,
+    eps: float = 1e-4,
+    compact: bool = True,
+):
+    """Full-frame wavefront render.
+
+    Returns accumulated radiance [width*height*spp4 grouped by pixel]:
+    shape [W*H, 3] (per-pixel MEAN over its spp4 samples).
+    """
+    total = width * height * spp4
+    n_pix = width * height
+    dtype = jnp.float32
+    cam = Camera()
+
+    cx, cy, cz = megakernel._scene_planes(scene, "center")
+    ax, ay, az = megakernel._scene_planes(scene, "albedo")
+    ex, ey, ez = megakernel._scene_planes(scene, "emission")
+    material = scene["material"]
+
+    p = pool
+
+    def fresh(idx_base, count_key):
+        sidx = idx_base
+        o3, d3, pixel, _ = _sample_camera_rays(
+            sidx, width, height, spp4, count_key, cam, dtype
+        )
+        valid = sidx < total
+        return o3, d3, pixel, valid
+
+    if total > p and not compact:
+        raise ValueError("compact=False requires pool >= total samples")
+
+    key0 = key
+    # initial fill
+    o3, d3, pixel, valid = fresh(jnp.arange(p), key0)
+    tput = tuple(jnp.ones((p,), dtype) for _ in range(3))
+    rad = tuple(jnp.zeros((p,), dtype) for _ in range(3))
+    depth = jnp.zeros((p,), jnp.int32)
+    alive = valid
+    image = jnp.zeros((n_pix, 3), dtype)
+    next_sample = jnp.asarray(p, jnp.int32)
+
+    def cond(st):
+        return jnp.any(st[0])
+
+    def body(st):
+        (alive, o3, d3, pixel, tput, rad, depth, image, next_sample, key) = st
+        key, k1 = jax.random.split(key)
+        u = jax.random.uniform(k1, (3, p), dtype=dtype)
+
+        tmin, hit, miss = megakernel.default_hit_fn(o3, d3, scene, eps)
+        live = alive & ~miss
+        hit = jnp.where(miss, 0, hit)
+
+        hp = (o3[0] + d3[0] * tmin, o3[1] + d3[1] * tmin, o3[2] + d3[2] * tmin)
+        chit = (select_by_id(hit, cx), select_by_id(hit, cy), select_by_id(hit, cz))
+        nrm = shade.v3_normalize(shade.v3_sub(hp, chit))
+        dn = shade.v3_dot(d3, nrm)
+        into = dn < 0
+        nl = shade.v3_scale(nrm, jnp.where(into, 1.0, -1.0))
+
+        emit = (select_by_id(hit, ex), select_by_id(hit, ey), select_by_id(hit, ez))
+        rad = shade.v3_where(
+            live,
+            shade.v3_add(rad, (tput[0] * emit[0], tput[1] * emit[1], tput[2] * emit[2])),
+            rad,
+        )
+
+        alb = (select_by_id(hit, ax), select_by_id(hit, ay), select_by_id(hit, az))
+        mat = select_by_id(hit, material)
+        is_diff = mat == DIFF
+        is_refr = mat == REFR
+
+        d_diff = shade.cosine_sample_hemisphere(nl, u[0], u[1])
+        d_spec = shade.reflect(d3, nrm)
+        d_refr, refr_scale = shade.refract_or_reflect(d3, nrm, into, u[0])
+        new_d = shade.v3_where(is_diff, d_diff, shade.v3_where(is_refr, d_refr, d_spec))
+        scale = jnp.where(is_refr, refr_scale, 1.0)
+        tput = shade.v3_where(
+            live,
+            (tput[0] * alb[0] * scale, tput[1] * alb[1] * scale, tput[2] * alb[2] * scale),
+            tput,
+        )
+
+        depth = depth + jnp.where(live, 1, 0)
+        tput_rr, survive = shade.russian_roulette(tput, u[2])
+        do_rr = depth > rr_depth
+        tput = shade.v3_where(do_rr, tput_rr, tput)
+        continue_ray = live & (depth < bounces) & jnp.where(do_rr, survive, True)
+
+        off = jnp.where(is_refr, 0.0, eps)
+        new_o = shade.v3_add(hp, shade.v3_scale(nl, off))
+        o3 = shade.v3_where(live, new_o, o3)
+        d3 = shade.v3_where(live, new_d, d3)
+
+        # ---- retire finished rays into the image (the one scatter) ----
+        died = alive & ~continue_ray
+        contrib = shade.v3_where(died, rad, (0.0 * rad[0],) * 3)
+        image = image.at[pixel].add(
+            jnp.stack(contrib, axis=1), mode="drop", unique_indices=False
+        )
+        alive = continue_ray
+
+        # ---- compaction + regeneration -------------------------------
+        if compact:
+            perm = jnp.argsort(~alive, stable=True)
+            gather = lambda t: tuple(c[perm] for c in t)  # noqa: E731
+            o3, d3, tput, rad = gather(o3), gather(d3), gather(tput), gather(rad)
+            pixel = pixel[perm]
+            depth = depth[perm]
+            alive = alive[perm]
+            n_alive = jnp.sum(alive.astype(jnp.int32))
+            slot = jnp.arange(p)
+            refill = slot >= n_alive
+            sidx = next_sample + (slot - n_alive).astype(jnp.int32)
+            f_o3, f_d3, f_pix, f_valid = fresh(sidx, key0)
+            o3 = shade.v3_where(refill, f_o3, o3)
+            d3 = shade.v3_where(refill, f_d3, d3)
+            tput = shade.v3_where(refill, (jnp.ones((p,), dtype),) * 3, tput)
+            rad = shade.v3_where(refill, (jnp.zeros((p,), dtype),) * 3, rad)
+            pixel = jnp.where(refill, f_pix, pixel)
+            depth = jnp.where(refill, 0, depth)
+            alive = jnp.where(refill, f_valid, alive)
+            next_sample = next_sample + jnp.sum(refill & f_valid, dtype=jnp.int32)
+
+        return (alive, o3, d3, pixel, tput, rad, depth, image, next_sample, key)
+
+    st = (alive, o3, d3, pixel, tput, rad, depth, image, next_sample, key)
+    st = jax.lax.while_loop(cond, body, st)
+    image = st[7]
+    return image / spp4

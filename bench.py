@@ -28,9 +28,12 @@ def main(argv=None) -> int:
     p.add_argument("--bounces", type=int, default=8)
     p.add_argument("--mode", choices=["pt", "reference"], default="pt")
     p.add_argument(
-        "--renderer", choices=["jit", "pallas"], default="jit",
-        help="pallas = hand-fused VMEM megakernel (reference mode, fwd only)",
+        "--renderer", choices=["jit", "pallas", "wavefront"], default="jit",
+        help="pallas = hand-fused VMEM megakernel (reference mode, fwd "
+        "only); wavefront = compaction renderer (pt mode, full frame)",
     )
+    p.add_argument("--pool", type=int, default=1 << 19, help="wavefront ray pool")
+    p.add_argument("--spp", type=int, default=64, help="wavefront samples/pixel")
     p.add_argument("--tile", type=int, default=2048, help="pallas ray tile")
     p.add_argument("--fwd-only", action="store_true")
     args = p.parse_args(argv)
@@ -55,6 +58,40 @@ def main(argv=None) -> int:
     scene = megakernel.scene_to_device(scenes.get_scene(scene_name))
     params, aux = split_scene_params(scene)
     key = jax.random.PRNGKey(0)
+
+    if args.renderer == "wavefront":
+        from ascendpathtracing_tpu.models import wavefront
+
+        w = h = int(np.sqrt(n / 4))
+        spp4 = args.spp
+        total = w * h * spp4
+        key = jax.random.PRNGKey(0)
+        sc = megakernel.scene_to_device(scenes.get_scene("cornell8"))
+
+        def run(k):
+            return wavefront.render_wavefront(
+                k, sc, width=w, height=h, spp4=spp4, pool=args.pool,
+                bounces=args.bounces, rr_depth=5,
+            )
+
+        out = run(key)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            out = run(jax.random.fold_in(key, i))
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / args.iters
+        mrays = total / dt / 1e6
+        print(json.dumps({
+            "metric": f"Mrays/s/chip fwd (wavefront, {args.bounces}b RR, "
+                      f"{w}x{h}x{spp4}spp)",
+            "value": round(mrays, 3),
+            "unit": "Mrays/s",
+            "vs_baseline": round(mrays / 100.0, 4),
+            "detail": {"backend": jax.default_backend(), "pool": args.pool,
+                       "samples": total, "step_ms": round(dt * 1e3, 3)},
+        }))
+        return 0
 
     if args.renderer == "pallas":
         if args.mode != "reference" or not args.fwd_only:
