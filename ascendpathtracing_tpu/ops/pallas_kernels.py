@@ -211,3 +211,388 @@ def render_reference_pallas(
         interpret=interpret,
     )
     return jnp.transpose(colors[:, :n])
+
+
+# ==========================================================================
+# Full path-tracing megakernel: camera generation + RNG + bounce loop all
+# in-kernel. HBM traffic is ONLY the per-pixel output (no ray input at
+# all) — the speed-of-light configuration for the BASELINE config-2
+# workload.
+# ==========================================================================
+def _render_pt_kernel(
+    scene_ref,
+    out_ref,
+    u_scratch,
+    *,
+    width,
+    height,
+    spp4,
+    tile,
+    materials,
+    bounces,
+    rr_depth,
+    eps,
+    seed,
+    cam_consts,
+):
+    """One (pixel-tile, sample-layer) grid cell: TILE pixels, one sample
+    each, accumulated into the output block across the sample-layer grid
+    dimension (Pallas keeps the revisited block in VMEM).
+
+    materials: static per-sphere tuple of (DIFF|SPEC|REFR) codes.
+    cam_consts: camera constants (see render_pt_pallas).
+    Sample layer a encodes (sy, sx, k): a = sy*2s + sx*s + k, matching the
+    reference sample order (gen_data.py:32-36).
+    """
+    f32 = jnp.float32
+    b = pl.program_id(0)
+    a = pl.program_id(1)
+    n_layers = pl.num_programs(1)
+    pltpu.prng_seed(seed + b * n_layers + a)
+
+    # All vector state is 2-D (8, L): rank-1 vectors inside a Mosaic
+    # fori_loop carry hit a layout-inference check failure, and 2-D tiles
+    # use all 8 sublanes by construction.
+    lanes = tile // 8
+
+    def uniforms(n_streams):
+        # Mosaic has no uint32->f32 cast: take the top 24 bits, bitcast to
+        # int32 (non-negative) and scale. NOTE: the Pallas TPU interpreter
+        # stubs prng_random_bits to zeros — RNG-dependent paths are only
+        # meaningful on hardware.
+        bits = pltpu.bitcast(
+            pltpu.prng_random_bits((n_streams, 8, lanes)), jnp.uint32
+        )
+        i32 = pltpu.bitcast(bits >> 8, jnp.int32)
+        return i32.astype(f32) * f32(1.0 / (1 << 24))
+
+    (px, py, pz, dx0, dy0, dz0, cxx, cyx, cyy, cyz, push) = cam_consts
+
+    s = spp4 // 4
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), 1)
+    pix = b * tile + sub * lanes + lane
+    i_idx = pix // height
+    j_idx = pix % height
+    sy = a // (2 * s)
+    sx = (a // s) % 2
+
+    u0 = uniforms(2)
+    r1 = 2.0 * u0[0]
+    r2 = 2.0 * u0[1]
+    jx = jnp.where(r1 < 1, jnp.sqrt(r1) - 1, 1 - jnp.sqrt(jnp.maximum(2 - r1, 0.0)))
+    jy = jnp.where(r2 < 1, jnp.sqrt(r2) - 1, 1 - jnp.sqrt(jnp.maximum(2 - r2, 0.0)))
+
+    su = ((sx.astype(f32) + 0.5 + jx) / 2.0 + i_idx.astype(f32)) / width - 0.5
+    sv = ((sy.astype(f32) + 0.5 + jy) / 2.0 + j_idx.astype(f32)) / height - 0.5
+    ddx = su * cxx + sv * cyx + dx0
+    ddy = sv * cyy + dy0
+    ddz = sv * cyz + dz0
+    ox = px + ddx * push
+    oy = py + ddy * push
+    oz = pz + ddz * push
+    inv = jax.lax.rsqrt(ddx * ddx + ddy * ddy + ddz * ddz)
+    dx, dy, dz = ddx * inv, ddy * inv, ddz * inv
+
+    shape = dx.shape
+    tr = jnp.ones(shape, f32)
+    tg = jnp.ones(shape, f32)
+    tb = jnp.ones(shape, f32)
+    lr = jnp.zeros(shape, f32)
+    lg = jnp.zeros(shape, f32)
+    lb = jnp.zeros(shape, f32)
+    # float mask, not bool: i1 vectors in the fori_loop carry crash the
+    # Mosaic compiler (SIGABRT).
+    alive_f = jnp.ones(shape, f32)
+
+    n_spheres = len(materials)
+
+    def sph(plane, si):
+        return scene_ref[plane, si]
+
+    def bounce(state, with_rr, u):
+        ox, oy, oz, dx, dy, dz, tr, tg, tb, lr, lg, lb, alive_f = state
+        alive = alive_f > 0.5
+
+        # ---- intersect: running min with static-material carriers -----
+        tmin = jnp.full(shape, MISS_T, f32)
+        w_cx = jnp.zeros(shape, f32)
+        w_cy = jnp.zeros(shape, f32)
+        w_cz = jnp.zeros(shape, f32)
+        w_ar = jnp.zeros(shape, f32)
+        w_ag = jnp.zeros(shape, f32)
+        w_ab = jnp.zeros(shape, f32)
+        w_er = jnp.zeros(shape, f32)
+        w_eg = jnp.zeros(shape, f32)
+        w_eb = jnp.zeros(shape, f32)
+        w_diff = jnp.zeros(shape, jnp.bool_)
+        w_refr = jnp.zeros(shape, jnp.bool_)
+
+        for si in range(n_spheres):
+            r2s = sph(0, si)
+            cx = sph(1, si)
+            cy = sph(2, si)
+            cz = sph(3, si)
+            ocx = cx - ox
+            ocy = cy - oy
+            ocz = cz - oz
+            bq = ocx * dx + ocy * dy + ocz * dz
+            c = ocx * ocx + ocy * ocy + ocz * ocz - r2s
+            det = bq * bq - c
+            valid = det >= 0
+            sq = jnp.sqrt(jnp.where(valid, det, 0.0))
+            t0 = bq - sq
+            t1 = bq + sq
+            t = jnp.where(
+                valid & (t0 > eps), t0, jnp.where(valid & (t1 > eps), t1, MISS_T)
+            )
+            better = t < tmin
+            tmin = jnp.where(better, t, tmin)
+            w_cx = jnp.where(better, cx, w_cx)
+            w_cy = jnp.where(better, cy, w_cy)
+            w_cz = jnp.where(better, cz, w_cz)
+            w_ar = jnp.where(better, sph(7, si), w_ar)
+            w_ag = jnp.where(better, sph(8, si), w_ag)
+            w_ab = jnp.where(better, sph(9, si), w_ab)
+            w_er = jnp.where(better, sph(4, si), w_er)
+            w_eg = jnp.where(better, sph(5, si), w_eg)
+            w_eb = jnp.where(better, sph(6, si), w_eb)
+            if materials[si] == 0:  # DIFF
+                w_diff = w_diff | better
+            else:
+                w_diff = w_diff & jnp.logical_not(better)
+            if materials[si] == 2:  # REFR
+                w_refr = w_refr | better
+            else:
+                w_refr = w_refr & jnp.logical_not(better)
+
+        miss = tmin >= MISS_T
+        live = alive & jnp.logical_not(miss)
+
+        hx = ox + dx * tmin
+        hy = oy + dy * tmin
+        hz = oz + dz * tmin
+        nx = hx - w_cx
+        ny = hy - w_cy
+        nz = hz - w_cz
+        n2 = nx * nx + ny * ny + nz * nz
+        ninv = jnp.where(n2 > 0, jax.lax.rsqrt(n2), 0.0)
+        nx, ny, nz = nx * ninv, ny * ninv, nz * ninv
+        dn = dx * nx + dy * ny + dz * nz
+        into = dn < 0
+        sgn = jnp.where(into, 1.0, -1.0)
+        nlx, nly, nlz = nx * sgn, ny * sgn, nz * sgn
+
+        # ---- emission accumulation -----------------------------------
+        lr = jnp.where(live, lr + tr * w_er, lr)
+        lg = jnp.where(live, lg + tg * w_eg, lg)
+        lb = jnp.where(live, lb + tb * w_eb, lb)
+
+        # ---- diffuse: cosine hemisphere sample -----------------------
+        phi = (2.0 * 3.14159265358979) * u[0]
+        r2u = u[1]
+        r2sq = jnp.sqrt(r2u)
+        flip = jnp.abs(nlx) > 0.1
+        axx = jnp.where(flip, 0.0, 1.0)
+        axy = jnp.where(flip, 1.0, 0.0)
+        ux_ = axy * nlz
+        uy_ = -axx * nlz
+        uz_ = axx * nly - axy * nlx
+        un = jax.lax.rsqrt(jnp.maximum(ux_ * ux_ + uy_ * uy_ + uz_ * uz_, 1e-20))
+        ux_, uy_, uz_ = ux_ * un, uy_ * un, uz_ * un
+        vx_ = nly * uz_ - nlz * uy_
+        vy_ = nlz * ux_ - nlx * uz_
+        vz_ = nlx * uy_ - nly * ux_
+        cw = jnp.sqrt(jnp.maximum(1.0 - r2u, 0.0))
+        cphi = jnp.cos(phi) * r2sq
+        sphi = jnp.sin(phi) * r2sq
+        ddfx = ux_ * cphi + vx_ * sphi + nlx * cw
+        ddfy = uy_ * cphi + vy_ * sphi + nly * cw
+        ddfz = uz_ * cphi + vz_ * sphi + nlz * cw
+
+        # ---- specular reflect ----------------------------------------
+        td = 2.0 * dn
+        dsx, dsy, dsz = dx - td * nx, dy - td * ny, dz - td * nz
+
+        # ---- refraction (Schlick) ------------------------------------
+        ior = 1.5
+        nnt = jnp.where(into, 1.0 / ior, ior)
+        ddn = dx * nlx + dy * nly + dz * nlz
+        cos2t = 1.0 - nnt * nnt * (1.0 - ddn * ddn)
+        tir = cos2t < 0
+        sqc = jnp.sqrt(jnp.maximum(cos2t, 0.0))
+        coef = sgn * (ddn * nnt + sqc)
+        tdx = dx * nnt - nx * coef
+        tdy = dy * nnt - ny * coef
+        tdz = dz * nnt - nz * coef
+        tinv = jax.lax.rsqrt(jnp.maximum(tdx * tdx + tdy * tdy + tdz * tdz, 1e-20))
+        tdx, tdy, tdz = tdx * tinv, tdy * tinv, tdz * tinv
+        a_ = ior - 1.0
+        b_ = ior + 1.0
+        r0 = (a_ * a_) / (b_ * b_)
+        cth = 1.0 - jnp.where(into, -ddn, tdx * nx + tdy * ny + tdz * nz)
+        re = r0 + (1.0 - r0) * cth * cth * cth * cth * cth
+        pp = 0.25 + 0.5 * re
+        pick_refl = (u[0] < pp) | tir
+        drx = jnp.where(pick_refl, dsx, tdx)
+        dry = jnp.where(pick_refl, dsy, tdy)
+        drz = jnp.where(pick_refl, dsz, tdz)
+        rscale = jnp.where(
+            tir, 1.0, jnp.where(pick_refl, re / pp, (1.0 - re) / (1.0 - pp))
+        )
+
+        # ---- select next direction by material -----------------------
+        ndx = jnp.where(w_diff, ddfx, jnp.where(w_refr, drx, dsx))
+        ndy = jnp.where(w_diff, ddfy, jnp.where(w_refr, dry, dsy))
+        ndz = jnp.where(w_diff, ddfz, jnp.where(w_refr, drz, dsz))
+        scl = jnp.where(w_refr, rscale, 1.0)
+        tr = jnp.where(live, tr * w_ar * scl, tr)
+        tg = jnp.where(live, tg * w_ag * scl, tg)
+        tb = jnp.where(live, tb * w_ab * scl, tb)
+
+        # ---- Russian roulette (static phase flag) --------------------
+        if with_rr:
+            pmax = jnp.clip(jnp.maximum(jnp.maximum(tr, tg), tb), 0.1, 0.95)
+            survive = u[2] < pmax
+            pinv = 1.0 / pmax
+            tr = jnp.where(survive, tr * pinv, tr)
+            tg = jnp.where(survive, tg * pinv, tg)
+            tb = jnp.where(survive, tb * pinv, tb)
+            alive = live & survive
+        else:
+            alive = live
+
+        off = jnp.where(w_refr, 0.0, eps)
+        ox = jnp.where(live, hx + nlx * off, ox)
+        oy = jnp.where(live, hy + nly * off, oy)
+        oz = jnp.where(live, hz + nlz * off, oz)
+        dx = jnp.where(live, ndx, dx)
+        dy = jnp.where(live, ndy, dy)
+        dz = jnp.where(live, ndz, dz)
+        alive_f = jnp.where(alive, f32(1.0), f32(0.0))
+        return (ox, oy, oz, dx, dy, dz, tr, tg, tb, lr, lg, lb, alive_f)
+
+    state = (ox, oy, oz, dx, dy, dz, tr, tg, tb, lr, lg, lb, alive_f)
+    n_pre = min(rr_depth, bounces)
+    n_rr = bounces - n_pre
+    # One PRNG generation for the whole bounce loop, staged through VMEM
+    # scratch (dynamic_slice of values is not lowerable; pl.ds on a ref
+    # is). 3 streams per bounce.
+    u_scratch[:, :, :] = uniforms(3 * bounces)
+    # fori_loop (not Python unroll) keeps live VMEM to one bounce's worth
+    # of vectors — the unrolled form held ~450 live values per lane and
+    # OOM'd scoped VMEM beyond tile=8192.
+    if n_pre:
+        state = jax.lax.fori_loop(
+            0, n_pre,
+            lambda i, st: bounce(st, False, u_scratch[pl.ds(3 * i, 3)]),
+            state,
+        )
+    if n_rr:
+        state = jax.lax.fori_loop(
+            0, n_rr,
+            lambda i, st: bounce(
+                st, True, u_scratch[pl.ds(3 * (n_pre + i), 3)]
+            ),
+            state,
+        )
+    lr, lg, lb = state[9], state[10], state[11]
+
+    # ---- accumulate this sample layer into the pixel block -----------
+    inv_spp = f32(1.0 / spp4)
+
+    @pl.when(a == 0)
+    def _():
+        out_ref[0, 0] = lr * inv_spp
+        out_ref[1, 0] = lg * inv_spp
+        out_ref[2, 0] = lb * inv_spp
+
+    @pl.when(a > 0)
+    def _():
+        out_ref[0, 0] = out_ref[0, 0] + lr * inv_spp
+        out_ref[1, 0] = out_ref[1, 0] + lg * inv_spp
+        out_ref[2, 0] = out_ref[2, 0] + lb * inv_spp
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "spp4", "materials", "light_index", "bounces",
+        "rr_depth", "eps", "tile", "seed", "interpret",
+    ),
+)
+def render_pt_pallas(
+    scene_planes,
+    *,
+    width: int,
+    height: int,
+    spp4: int,
+    materials: tuple,
+    light_index: int = -1,
+    bounces: int = 8,
+    rr_depth: int = 5,
+    eps: float = 1e-4,
+    tile: int = 2048,
+    seed: int = 0,
+    interpret: bool = False,
+):
+    """Fully-fused path trace: no ray input, per-pixel mean output [3, W*H].
+
+    Grid = (pixel tiles, spp4 sample layers); each cell traces one sample
+    for TILE pixels and accumulates into the revisited output block (which
+    Pallas keeps resident in VMEM across the inner grid dimension).  The
+    camera model/constants follow camera.Camera (the reference's smallpt
+    camera, gen_data.py:24-29).
+    """
+    from ascendpathtracing_tpu.camera import Camera
+
+    n_pix = width * height
+    if tile % 1024:
+        raise ValueError(f"{tile=} must be a multiple of 1024 (8 sublanes x 128 lanes)")
+    if n_pix % tile:
+        raise ValueError(f"pixel count {n_pix} not divisible by {tile=}")
+    nb = n_pix // tile
+    grid = (nb, spp4)
+
+    pos, d0, cx, cy = Camera().basis(width, height)
+    cam_consts = (
+        float(pos[0]), float(pos[1]), float(pos[2]),
+        float(d0[0]), float(d0[1]), float(d0[2]),
+        float(cx[0]), float(cy[0]), float(cy[1]), float(cy[2]),
+        float(Camera().origin_push),
+    )
+
+    kernel = functools.partial(
+        _render_pt_kernel,
+        width=width,
+        height=height,
+        spp4=spp4,
+        tile=tile,
+        materials=tuple(materials),
+        bounces=bounces,
+        rr_depth=rr_depth,
+        eps=eps,
+        seed=seed,
+        cam_consts=cam_consts,
+    )
+    s = scene_planes.shape[1]
+    total = n_pix * spp4
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((10, s), lambda b, a: (0, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(
+            (3, 1, 8, tile // 8), lambda b, a: (0, b, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((3, nb, 8, tile // 8), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((3 * bounces, 8, tile // 8), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=total * bounces * (len(materials) * 14 + 120),
+            bytes_accessed=3 * n_pix * 4,
+            transcendentals=total * bounces * (len(materials) + 8),
+        ),
+        interpret=interpret,
+    )(scene_planes)
+    # (3, nb, 8, L) row-major == pixel order b*tile + sub*L + lane
+    return out.reshape(3, n_pix)

@@ -28,7 +28,8 @@ def main(argv=None) -> int:
     p.add_argument("--bounces", type=int, default=8)
     p.add_argument("--mode", choices=["pt", "reference"], default="pt")
     p.add_argument(
-        "--renderer", choices=["jit", "pallas", "wavefront"], default="jit",
+        "--renderer", choices=["jit", "pallas", "pallas-pt", "wavefront"],
+        default="jit",
         help="pallas = hand-fused VMEM megakernel (reference mode, fwd "
         "only); wavefront = compaction renderer (pt mode, full frame)",
     )
@@ -58,6 +59,43 @@ def main(argv=None) -> int:
     scene = megakernel.scene_to_device(scenes.get_scene(scene_name))
     params, aux = split_scene_params(scene)
     key = jax.random.PRNGKey(0)
+
+    if args.renderer == "pallas-pt":
+        from ascendpathtracing_tpu.ops import pallas_kernels
+
+        w = h = int(np.sqrt(n / 4))
+        spp4 = args.spp
+        total = w * h * spp4
+        scene_obj = scenes.get_scene("cornell8")
+        planes = jnp.asarray(scene_obj.soa10())
+        mats = tuple(int(m) for m in scene_obj.material)
+
+        def run(seed):
+            return pallas_kernels.render_pt_pallas(
+                planes, width=w, height=h, spp4=spp4, materials=mats,
+                light_index=scene_obj.light_index, bounces=args.bounces,
+                rr_depth=5, tile=args.tile, seed=seed,
+            )
+
+        out = run(0)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            out = run(i + 1)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / args.iters
+        mrays = total / dt / 1e6
+        print(json.dumps({
+            "metric": f"Mrays/s/chip fwd (pallas-pt fused, {args.bounces}b RR, "
+                      f"{w}x{h}x{spp4}spp)",
+            "value": round(mrays, 3),
+            "unit": "Mrays/s",
+            "vs_baseline": round(mrays / 100.0, 4),
+            "detail": {"backend": jax.default_backend(), "samples": total,
+                       "step_ms": round(dt * 1e3, 3), "tile": args.tile,
+                       "out_mean": float(jnp.mean(out))},
+        }))
+        return 0
 
     if args.renderer == "wavefront":
         from ascendpathtracing_tpu.models import wavefront
