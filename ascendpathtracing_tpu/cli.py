@@ -44,6 +44,8 @@ def _parse_args(argv):
     r.add_argument("--backend", choices=["auto", "cpu", "tpu"], default="auto")
     r.add_argument("--renderer", choices=["jit", "pallas", "wavefront"], default="jit")
     r.add_argument("--out", default="output")
+    r.add_argument("--nee", action="store_true",
+                   help="pt mode: next-event estimation (explicit light sampling)")
     r.add_argument("--oracle", action="store_true", help="also run the NumPy oracle and report parity")
 
     t = sub.add_parser(
@@ -171,7 +173,8 @@ def cmd_render(args) -> int:
         colors = mesh_mod.render_pt_mesh(key, rays, mdev, bounces=args.bounces)
     else:
         key = jax.random.PRNGKey(args.seed)
-        colors = megakernel.render_pt(key, rays, dev, bounces=args.bounces)
+        fn = megakernel.render_pt_nee if args.nee else megakernel.render_pt
+        colors = fn(key, rays, dev, bounces=args.bounces)
     colors = np.asarray(jax.block_until_ready(colors))
     t_render = time.time() - t0
 

@@ -289,3 +289,144 @@ def render_pt_impl(
 
 
 render_pt = jax.jit(render_pt_impl, static_argnames=("bounces", "rr_depth", "eps"))
+
+
+def render_pt_nee_impl(
+    key,
+    rays,
+    scene: dict,
+    *,
+    bounces: int = 8,
+    rr_depth: int = 5,
+    eps: float = 1e-4,
+):
+    """Path tracing with next-event estimation (explicit light sampling).
+
+    At every diffuse hit a direction toward the light sphere is sampled
+    over its subtended cone (smallpt's explicit-lighting variant) and a
+    shadow ray tests visibility; BSDF-sampled continuations then skip
+    light emission at the next vertex to avoid double counting.  Large
+    variance reduction at equal spp, and — unlike the pure BSDF sampler —
+    the radiance depends continuously on light position/size.
+    """
+    o3, d3 = rays_to_soa(rays)
+    n = o3[0].shape[0]
+    dtype = o3[0].dtype
+    light = scene["light_index"]
+
+    cx, cy, cz = _scene_planes(scene, "center")
+    ax, ay, az = _scene_planes(scene, "albedo")
+    ex, ey, ez = _scene_planes(scene, "emission")
+    material = scene["material"]
+    lcx, lcy, lcz = cx[light], cy[light], cz[light]
+    ler, leg, leb = ex[light], ey[light], ez[light]
+    lr2 = scene["r2"][light]
+
+    zeros = jnp.zeros((n,), dtype)
+    ones = jnp.ones((n,), dtype)
+    rad = (zeros, zeros, zeros)
+    tput = (ones, ones, ones)
+    alive = jnp.ones((n,), bool)
+    # emission gate: 1.0 on the first vertex and after specular bounces,
+    # 0.0 after a diffuse vertex (its light contribution came from NEE)
+    egate = jnp.ones((n,), dtype)
+
+    def body(depth, state):
+        key, o3, d3, rad, tput, alive, egate = state
+        key, k1 = jax.random.split(key)
+        u = jax.random.uniform(k1, (5, n), dtype=dtype)
+
+        tmin, hit, miss = default_hit_fn(o3, d3, scene, eps)
+        live = alive & ~miss
+        hit = jnp.where(miss, 0, hit)
+
+        hp = (o3[0] + d3[0] * tmin, o3[1] + d3[1] * tmin, o3[2] + d3[2] * tmin)
+        chit = (select_by_id(hit, cx), select_by_id(hit, cy), select_by_id(hit, cz))
+        nrm = shade.v3_normalize(shade.v3_sub(hp, chit))
+        dn = shade.v3_dot(d3, nrm)
+        into = dn < 0
+        nl = shade.v3_scale(nrm, jnp.where(into, 1.0, -1.0))
+
+        # gated emission accumulation
+        emit = (select_by_id(hit, ex), select_by_id(hit, ey), select_by_id(hit, ez))
+        g = jnp.where(live, egate, 0.0)
+        rad = shade.v3_add(
+            rad, (g * tput[0] * emit[0], g * tput[1] * emit[1], g * tput[2] * emit[2])
+        )
+
+        alb = (select_by_id(hit, ax), select_by_id(hit, ay), select_by_id(hit, az))
+        mat = select_by_id(hit, material)
+        is_diff = mat == DIFF
+        is_refr = mat == REFR
+
+        # ---- NEE: sample the light-sphere cone from the hit point ----
+        swx, swy, swz = lcx - hp[0], lcy - hp[1], lcz - hp[2]
+        dist2 = swx * swx + swy * swy + swz * swz
+        sw = shade.v3_normalize((swx, swy, swz))
+        cos_a_max = jnp.sqrt(jnp.maximum(1.0 - lr2 / jnp.maximum(dist2, 1e-12), 0.0))
+        cos_a = 1.0 - u[3] + u[3] * cos_a_max
+        sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a * cos_a, 0.0))
+        phi = (2.0 * jnp.pi) * u[4]
+        flip = jnp.abs(sw[0]) > 0.1
+        aux_v = (jnp.where(flip, 0.0, 1.0), jnp.where(flip, 1.0, 0.0), zeros)
+        su_ = shade.v3_normalize(shade.v3_cross(aux_v, sw))
+        sv_ = shade.v3_cross(sw, su_)
+        ldir = shade.v3_normalize(
+            shade.v3_add(
+                shade.v3_add(
+                    shade.v3_scale(su_, jnp.cos(phi) * sin_a),
+                    shade.v3_scale(sv_, jnp.sin(phi) * sin_a),
+                ),
+                shade.v3_scale(sw, cos_a),
+            )
+        )
+        shadow_o = shade.v3_add(hp, shade.v3_scale(nl, eps))
+        st, shit2, smiss2 = default_hit_fn(shadow_o, ldir, scene, eps)
+        lit = ~smiss2 & (shit2 == light)
+        ldot = jnp.maximum(shade.v3_dot(ldir, nl), 0.0)
+        omega_w = 2.0 * (1.0 - cos_a_max)  # * (1/pi) * pi cancels
+        w = jnp.where(live & is_diff & lit, ldot * omega_w, 0.0)
+        rad = shade.v3_add(
+            rad,
+            (
+                tput[0] * alb[0] * ler * w,
+                tput[1] * alb[1] * leg * w,
+                tput[2] * alb[2] * leb * w,
+            ),
+        )
+
+        # ---- BSDF continuation (same as render_pt_impl) --------------
+        d_diff = shade.cosine_sample_hemisphere(nl, u[0], u[1])
+        d_spec = shade.reflect(d3, nrm)
+        d_refr, refr_scale = shade.refract_or_reflect(d3, nrm, into, u[0])
+        new_d = shade.v3_where(is_diff, d_diff, shade.v3_where(is_refr, d_refr, d_spec))
+        scale = jnp.where(is_refr, refr_scale, 1.0)
+        tput = shade.v3_where(
+            live,
+            (tput[0] * alb[0] * scale, tput[1] * alb[1] * scale, tput[2] * alb[2] * scale),
+            tput,
+        )
+        egate = jnp.where(
+            live & is_diff, jnp.asarray(0.0, dtype), jnp.asarray(1.0, dtype)
+        )
+
+        tput_rr, survive = shade.russian_roulette(tput, u[2])
+        do_rr = depth >= rr_depth
+        tput = shade.v3_where(do_rr, tput_rr, tput)
+        alive = live & jnp.where(do_rr, survive, True)
+
+        off = jnp.where(is_refr, 0.0, eps)
+        new_o = shade.v3_add(hp, shade.v3_scale(nl, off))
+        o3 = shade.v3_where(live, new_o, o3)
+        d3 = shade.v3_where(live, new_d, d3)
+        return key, o3, d3, rad, tput, alive, egate
+
+    body_ckpt = jax.checkpoint(lambda depth, st: body(depth, st))
+    state = (key, o3, d3, rad, tput, alive, egate)
+    state = jax.lax.fori_loop(0, bounces, body_ckpt, state, unroll=True)
+    return jnp.stack(state[3], axis=1)
+
+
+render_pt_nee = jax.jit(
+    render_pt_nee_impl, static_argnames=("bounces", "rr_depth", "eps")
+)

@@ -159,9 +159,30 @@ def smallpt9() -> SphereScene:
     return _scene_from_rows(rows, mats, light_index=8)
 
 
+def cornell_smalllight() -> SphereScene:
+    """Cornell walls with a SMALL spherical light (r=10 under the
+    ceiling). The classic hard case for pure BSDF sampling — used to
+    demonstrate/verify the variance reduction of next-event estimation
+    (the stock scenes' r=600 light subtends almost a hemisphere, where
+    NEE cannot help)."""
+    rows = [
+        [1e5, 1e5 + 1, 40.8, 81.6, 0, 0, 0, 0.75, 0.25, 0.25],
+        [1e5, -1e5 + 99, 40.8, 81.6, 0, 0, 0, 0.25, 0.25, 0.75],
+        [1e5, 50, 40.8, 1e5, 0, 0, 0, 0.75, 0.75, 0.75],
+        [1e5, 50, 40.8, -1e5 + 170, 0, 0, 0, 0, 0, 0],
+        [1e5, 50, 1e5, 81.6, 0, 0, 0, 0.75, 0.75, 0.75],
+        [1e5, 50, -1e5 + 81.6, 81.6, 0, 0, 0, 0.75, 0.75, 0.75],
+        [16.5, 27, 16.5, 47, 0, 0, 0, 0.999, 0.999, 0.999],
+        [10, 50, 68, 81.6, 60, 60, 60, 0, 0, 0],  # small bright light
+    ]
+    mats = [DIFF, DIFF, DIFF, DIFF, DIFF, DIFF, SPEC, DIFF]
+    return _scene_from_rows(rows, mats, light_index=7)
+
+
 _REGISTRY: Dict[str, callable] = {
     "cornell8": cornell8,
     "smallpt9": smallpt9,
+    "cornell-smalllight": cornell_smalllight,
 }
 
 
