@@ -46,6 +46,10 @@ def _parse_args(argv):
     r.add_argument("--out", default="output")
     r.add_argument("--nee", action="store_true",
                    help="pt mode: next-event estimation (explicit light sampling)")
+    r.add_argument("--aov", choices=["none", "depth"], default="none",
+                   help="also write an auxiliary output (depth.ppm)")
+    r.add_argument("--check-finite", action="store_true",
+                   help="fail if the render produced NaN/Inf")
     r.add_argument("--oracle", action="store_true", help="also run the NumPy oracle and report parity")
 
     t = sub.add_parser(
@@ -178,9 +182,22 @@ def cmd_render(args) -> int:
     colors = np.asarray(jax.block_until_ready(colors))
     t_render = time.time() - t0
 
+    if args.check_finite:
+        from ascendpathtracing_tpu.utils.debug import assert_finite
+
+        assert_finite(colors, "render")
+
     io.write_color_bin(colors, f"{args.out}/color.bin")
     img = io.decode_color(colors, w, h, s)
     io.write_ppm(img, f"{args.out}/color.ppm")
+
+    if args.aov == "depth":
+        depth = np.asarray(megakernel.render_depth(rays, dev))
+        dmax = max(float(depth.max()), 1e-9)
+        dimg = io.decode_color(
+            np.repeat((depth / dmax)[:, None], 3, axis=1), w, h, s
+        )
+        io.write_ppm(dimg, f"{args.out}/depth.ppm")
 
     n_rays = rays.shape[0]
     stats = {

@@ -19,6 +19,7 @@ import numpy as np
 
 from ascendpathtracing_tpu.accel import bvh as bvh_mod
 from ascendpathtracing_tpu.accel import tri as tri_mod
+from ascendpathtracing_tpu.ops import pallas_bvh as pallas_bvh_mod
 from ascendpathtracing_tpu.models import megakernel
 from ascendpathtracing_tpu.models.megakernel import select_by_id
 from ascendpathtracing_tpu.ops import shade
@@ -54,9 +55,19 @@ class MeshScene:
         )
 
 
-def mesh_scene_to_device(ms: MeshScene, dtype=jnp.float32, use_bvh=True, max_leaf=4):
+def mesh_scene_to_device(
+    ms: MeshScene, dtype=jnp.float32, use_bvh=True, max_leaf=4,
+    pallas_bvh_kernel=False,
+):
     """MeshScene -> device pytree. Triangles are permuted into BVH leaf
-    order so leaves index contiguously; face attributes follow."""
+    order so leaves index contiguously; face attributes follow.
+
+    ``pallas_bvh_kernel=True`` additionally packs the BVH for the Pallas
+    stackless traversal kernel (ops/pallas_bvh.py) and makes the
+    renderers use it — forward-only (pallas_call has no autodiff), TPU or
+    interpret mode. The jnp while_loop traversal is gather-bound and
+    effectively unusable on real TPU hardware (measured ~1000x slower).
+    """
     np_dtype = np.float64 if dtype == jnp.float64 else np.float32
     sph = megakernel.scene_to_device(ms.spheres, dtype)
     v = np.asarray(ms.vertices, np_dtype)
@@ -86,6 +97,14 @@ def mesh_scene_to_device(ms: MeshScene, dtype=jnp.float32, use_bvh=True, max_lea
         "f_emission": tuple(jnp.asarray(ms.face_emission[order][:, i], dtype) for i in range(3)),
         "f_material": jnp.asarray(ms.face_material[order], jnp.int32),
         "bvh": bvh_dev,
+        "pallas_bvh": (
+            pallas_bvh_mod.pack_bvh_for_pallas(
+                bvh,
+                tuple(tuple(np.asarray(p[order], np.float32) for p in t) for t in planes),
+            )
+            if (use_bvh and pallas_bvh_kernel)
+            else None
+        ),
         # static (non-traced) config; stripped before jit by the wrappers
         "max_leaf": max_leaf if use_bvh else 0,
     }
@@ -97,7 +116,25 @@ def _split_static(dev):
 
 
 def _mesh_hit(o3, d3, dev, eps, max_leaf):
-    """Nearest triangle hit via BVH (or brute force when bvh is None)."""
+    """Nearest triangle hit via the Pallas traversal kernel, the jnp
+    while_loop traversal, or brute force (in that priority)."""
+    if dev.get("pallas_bvh") is not None:
+        nodesf, nodesi, tris9 = dev["pallas_bvh"]
+        n = o3[0].shape[0]
+        # pad rays to a tile multiple for the kernel
+        tile = 1024
+        n_pad = -(-n // tile) * tile
+        rp = jnp.stack([*o3, *d3], axis=0)
+        if n_pad != n:
+            rp = jnp.pad(rp, ((0, 0), (0, n_pad - n)))
+        tmin, hit = pallas_bvh_mod.intersect_bvh_pallas(
+            rp.astype(jnp.float32), nodesf, nodesi, tris9,
+            max_leaf=max_leaf, eps=eps, tile=tile,
+            interpret=(jax.devices()[0].platform != "tpu"),
+        )
+        tmin = tmin[:n].astype(o3[0].dtype)
+        hit = hit[:n]
+        return tmin, hit, tmin >= jnp.asarray(MISS_T, tmin.dtype)
     if dev["bvh"] is not None:
         return bvh_mod.intersect_bvh(
             o3, d3, dev["bvh"], (dev["v0"], dev["e1"], dev["e2"]), eps,
