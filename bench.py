@@ -22,11 +22,13 @@ import time
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--rays", type=int, default=1 << 20, help="primary rays per step")
+    # Defaults define the BASELINE.json headline metric: fwd+bwd at 8
+    # bounces on the Cornell scene, 4M rays/step.
+    p.add_argument("--rays", type=int, default=1 << 22, help="primary rays per step")
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--bounces", type=int, default=8)
-    p.add_argument("--mode", choices=["pt", "reference"], default="pt")
+    p.add_argument("--mode", choices=["pt", "reference"], default="reference")
     p.add_argument(
         "--renderer", choices=["jit", "pallas", "pallas-pt", "wavefront"],
         default="jit",
