@@ -596,3 +596,217 @@ def render_pt_pallas(
     )(scene_planes)
     # (3, nb, 8, L) row-major == pixel order b*tile + sub*L + lane
     return out.reshape(3, n_pix)
+
+
+# ==========================================================================
+# Custom VJP for the reference-mode render: one recompute pass with
+# product-rule accumulators.
+#
+# Reference-mode color_c = emission_c(light) * prod_b albedo_c(s_b) where
+# the s_b are DISCRETE argmin winners, so the exact reverse-mode gradient
+# is: d emission = sum_i g_i * tput_i;  d albedo[s] via the product rule
+# over each ray's albedo factors; d center = d r2 = d rays = 0 exactly
+# (what jax AD computes through the integer paths).  The backward kernel
+# recomputes the forward per tile while carrying dtput[s]_c =
+# d tput_c / d albedo[s]_c and contracts with the cotangent.
+# ==========================================================================
+def _render_ref_bwd_kernel(
+    rays_ref,  # [6, 1, 8, L]
+    scene_ref,  # [10, S]
+    g_ref,  # [3, 1, 8, L] cotangent
+    out_ref,  # [10, S] accumulated scene-plane grads
+    *,
+    n_spheres,
+    light_index,
+    bounces,
+    eps,
+):
+    f32 = jnp.float32
+    b_id = pl.program_id(0)
+
+    ox = rays_ref[0, 0]
+    oy = rays_ref[1, 0]
+    oz = rays_ref[2, 0]
+    dx = rays_ref[3, 0]
+    dy = rays_ref[4, 0]
+    dz = rays_ref[5, 0]
+    shape = ox.shape
+
+    tr = jnp.ones(shape, f32)
+    tg = jnp.ones(shape, f32)
+    tb = jnp.ones(shape, f32)
+    alive = jnp.ones(shape, jnp.bool_)
+    # product-rule accumulators d tput_c / d albedo[s]_c
+    dt_r = [jnp.zeros(shape, f32) for _ in range(n_spheres)]
+    dt_g = [jnp.zeros(shape, f32) for _ in range(n_spheres)]
+    dt_b = [jnp.zeros(shape, f32) for _ in range(n_spheres)]
+
+    def sphere_scalar(plane, s):
+        return scene_ref[plane, s]
+
+    for _ in range(bounces):
+        tmin = jnp.full(shape, MISS_T, f32)
+        last = n_spheres - 1
+        w_cx = jnp.full(shape, sphere_scalar(1, last), f32)
+        w_cy = jnp.full(shape, sphere_scalar(2, last), f32)
+        w_cz = jnp.full(shape, sphere_scalar(3, last), f32)
+        w_ar = jnp.full(shape, sphere_scalar(7, last), f32)
+        w_ag = jnp.full(shape, sphere_scalar(8, last), f32)
+        w_ab = jnp.full(shape, sphere_scalar(9, last), f32)
+        w_light = jnp.zeros(shape, jnp.bool_)
+        w_idx = jnp.full(shape, last, jnp.int32)
+
+        for s in range(n_spheres):
+            r2 = sphere_scalar(0, s)
+            cx = sphere_scalar(1, s)
+            cy = sphere_scalar(2, s)
+            cz = sphere_scalar(3, s)
+            ocx = cx - ox
+            ocy = cy - oy
+            ocz = cz - oz
+            bq = ocx * dx + ocy * dy + ocz * dz
+            c = ocx * ocx + ocy * ocy + ocz * ocz - r2
+            det = bq * bq - c
+            valid = det >= 0
+            sq = jnp.sqrt(jnp.where(valid, det, 0.0))
+            t0 = bq - sq
+            t1 = bq + sq
+            t = jnp.where(
+                valid & (t0 > eps), t0, jnp.where(valid & (t1 > eps), t1, MISS_T)
+            )
+            better = t < tmin
+            tmin = jnp.where(better, t, tmin)
+            w_cx = jnp.where(better, cx, w_cx)
+            w_cy = jnp.where(better, cy, w_cy)
+            w_cz = jnp.where(better, cz, w_cz)
+            w_ar = jnp.where(better, sphere_scalar(7, s), w_ar)
+            w_ag = jnp.where(better, sphere_scalar(8, s), w_ag)
+            w_ab = jnp.where(better, sphere_scalar(9, s), w_ab)
+            w_idx = jnp.where(better, s, w_idx)
+            if s == light_index:
+                w_light = w_light | better
+            else:
+                w_light = w_light & jnp.logical_not(better)
+
+        hx = ox + dx * tmin
+        hy = oy + dy * tmin
+        hz = oz + dz * tmin
+        nx = hx - w_cx
+        ny = hy - w_cy
+        nz = hz - w_cz
+        n2 = nx * nx + ny * ny + nz * nz
+        inv = jnp.where(n2 > 0, 1.0 / jnp.sqrt(n2), 0.0)
+        nx, ny, nz = nx * inv, ny * inv, nz * inv
+        dn = dx * nx + dy * ny + dz * nz
+        td = 2.0 * dn
+        dx, dy, dz = dx - td * nx, dy - td * ny, dz - td * nz
+        ox, oy, oz = hx, hy, hz
+
+        alive = alive & jnp.logical_not(w_light)
+        # the miss case multiplies by the last sphere's albedo exactly as
+        # the forward does (oracle wrap semantics), so w_idx == last there.
+        # Product rule: dtput[s]' = dtput[s] * m + (s == winner) * tput,
+        # applied only where alive (dead rays multiply by 1).
+        mr = jnp.where(alive, w_ar, 1.0)
+        mg = jnp.where(alive, w_ag, 1.0)
+        mb = jnp.where(alive, w_ab, 1.0)
+        for s in range(n_spheres):
+            pick = alive & (w_idx == s)
+            pick_f = jnp.where(pick, 1.0, 0.0)
+            dt_r[s] = dt_r[s] * mr + pick_f * tr
+            dt_g[s] = dt_g[s] * mg + pick_f * tg
+            dt_b[s] = dt_b[s] * mb + pick_f * tb
+        tr = tr * mr
+        tg = tg * mg
+        tb = tb * mb
+
+    gr = g_ref[0, 0]
+    gg = g_ref[1, 0]
+    gb = g_ref[2, 0]
+    emi_r = scene_ref[4, light_index]
+    emi_g = scene_ref[5, light_index]
+    emi_b = scene_ref[6, light_index]
+
+    @pl.when(b_id == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    # d emission (only the light's row is live)
+    out_ref[4, light_index] = out_ref[4, light_index] + jnp.sum(gr * tr)
+    out_ref[5, light_index] = out_ref[5, light_index] + jnp.sum(gg * tg)
+    out_ref[6, light_index] = out_ref[6, light_index] + jnp.sum(gb * tb)
+    # d albedo rows (planes 7..9)
+    for s in range(n_spheres):
+        out_ref[7, s] = out_ref[7, s] + jnp.sum(gr * emi_r * dt_r[s])
+        out_ref[8, s] = out_ref[8, s] + jnp.sum(gg * emi_g * dt_g[s])
+        out_ref[9, s] = out_ref[9, s] + jnp.sum(gb * emi_b * dt_b[s])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bounces", "eps", "tile", "light_index", "interpret"),
+)
+def _render_ref_bwd(
+    rays_planes, scene_planes, g_planes, *, light_index, bounces, eps, tile,
+    interpret=False,
+):
+    n = rays_planes.shape[1]
+    s = scene_planes.shape[1]
+    if tile % 1024:
+        raise ValueError(f"{tile=} must be a multiple of 1024")
+    if n % tile:
+        raise ValueError(f"ray count {n} not divisible by {tile=}")
+    nb = n // tile
+    lanes = tile // 8
+    rays4 = rays_planes.reshape(6, nb, 8, lanes)
+    g4 = g_planes.reshape(3, nb, 8, lanes)
+    kernel = functools.partial(
+        _render_ref_bwd_kernel,
+        n_spheres=s,
+        light_index=light_index,
+        bounces=bounces,
+        eps=eps,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((6, 1, 8, lanes), lambda b: (0, b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((10, s), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 1, 8, lanes), lambda b: (0, b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((10, s), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((10, s), jnp.float32),
+        interpret=interpret,
+    )(rays4, scene_planes, g4)
+
+
+def make_render_reference_pallas_diff(
+    *, light_index, bounces=5, eps=1e-4, tile=DEFAULT_TILE, interpret=False
+):
+    """Differentiable fused render: fn(rays_planes [6,N], scene_planes
+    [10,S]) -> colors [3,N], with a hand-written Pallas backward for the
+    scene planes (rays get exact zeros — their true gradient, see module
+    docstring)."""
+
+    @jax.custom_vjp
+    def render(rays_planes, scene_planes):
+        return render_reference_pallas_planes(
+            rays_planes, scene_planes, light_index=light_index,
+            bounces=bounces, eps=eps, tile=tile, interpret=interpret,
+        )
+
+    def fwd(rays_planes, scene_planes):
+        out = render(rays_planes, scene_planes)
+        return out, (rays_planes, scene_planes)
+
+    def bwd(res, g):
+        rays_planes, scene_planes = res
+        d_scene = _render_ref_bwd(
+            rays_planes, scene_planes, g, light_index=light_index,
+            bounces=bounces, eps=eps, tile=tile, interpret=interpret,
+        )
+        return jnp.zeros_like(rays_planes), d_scene
+
+    render.defvjp(fwd, bwd)
+    return render

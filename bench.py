@@ -134,8 +134,8 @@ def main(argv=None) -> int:
         return 0
 
     if args.renderer == "pallas":
-        if args.mode != "reference" or not args.fwd_only:
-            print("note: pallas renderer implies --mode reference --fwd-only",
+        if args.mode != "reference":
+            print("note: pallas renderer implies --mode reference",
                   file=sys.stderr)
         from ascendpathtracing_tpu.ops import pallas_kernels
 
@@ -143,13 +143,23 @@ def main(argv=None) -> int:
         planes = jnp.asarray(scene_obj.soa10())
         rays_planes = jnp.transpose(rays)
 
-        def pallas_step(planes):
-            return pallas_kernels.render_reference_pallas_planes(
-                rays_planes, planes, light_index=scene_obj.light_index,
-                bounces=args.bounces, tile=args.tile,
-            )
+        if args.fwd_only:
 
-        step = jax.jit(pallas_step)
+            def pallas_step(planes):
+                return pallas_kernels.render_reference_pallas_planes(
+                    rays_planes, planes, light_index=scene_obj.light_index,
+                    bounces=args.bounces, tile=args.tile,
+                )
+
+            step = jax.jit(pallas_step)
+        else:
+            render = pallas_kernels.make_render_reference_pallas_diff(
+                light_index=scene_obj.light_index, bounces=args.bounces,
+                tile=args.tile,
+            )
+            step = jax.jit(
+                jax.value_and_grad(lambda p: jnp.sum(render(rays_planes, p)))
+            )
         for i in range(args.warmup):
             out = step(planes)
         jax.block_until_ready(out)
@@ -159,8 +169,9 @@ def main(argv=None) -> int:
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / args.iters
         mrays = n / dt / 1e6
+        tag2 = "fwd" if args.fwd_only else "fwd+bwd"
         print(json.dumps({
-            "metric": f"Mrays/s/chip fwd @ {args.bounces} bounces (cornell8, pallas)",
+            "metric": f"Mrays/s/chip {tag2} @ {args.bounces} bounces (cornell8, pallas)",
             "value": round(mrays, 3),
             "unit": "Mrays/s",
             "vs_baseline": round(mrays / 100.0, 4),
