@@ -775,7 +775,9 @@ def _render_ref_bwd(
             pl.BlockSpec((10, s), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, 1, 8, lanes), lambda b: (0, b, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((10, s), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        # scalar accumulation lands in SMEM (scalar stores to VMEM are
+        # rejected by Mosaic on hardware)
+        out_specs=pl.BlockSpec((10, s), lambda b: (0, 0), memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((10, s), jnp.float32),
         interpret=interpret,
     )(rays4, scene_planes, g4)
