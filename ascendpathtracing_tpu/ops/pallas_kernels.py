@@ -729,7 +729,10 @@ def _render_ref_bwd_kernel(
 
     @pl.when(b_id == 0)
     def _():
-        out_ref[:, :] = jnp.zeros_like(out_ref)
+        # SMEM accepts only scalar stores: element-wise init
+        for p_ in range(10):
+            for s_ in range(n_spheres):
+                out_ref[p_, s_] = jnp.float32(0.0)
 
     # d emission (only the light's row is live)
     out_ref[4, light_index] = out_ref[4, light_index] + jnp.sum(gr * tr)
