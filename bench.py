@@ -30,8 +30,8 @@ def main(argv=None) -> int:
     p.add_argument("--bounces", type=int, default=8)
     p.add_argument("--mode", choices=["pt", "reference"], default="reference")
     p.add_argument(
-        "--renderer", choices=["jit", "pallas", "pallas-pt", "wavefront"],
-        default="jit",
+        "--renderer", choices=["auto", "jit", "pallas", "pallas-pt", "wavefront"],
+        default="auto",
         help="pallas = hand-fused VMEM megakernel (reference mode, fwd "
         "only); wavefront = compaction renderer (pt mode, full frame)",
     )
@@ -48,6 +48,14 @@ def main(argv=None) -> int:
     from ascendpathtracing_tpu import camera, scenes
     from ascendpathtracing_tpu.models import megakernel
     from ascendpathtracing_tpu.parallel.sharded import split_scene_params
+
+    if args.renderer == "auto":
+        # Best honest headline path: the custom-VJP Pallas renderer on
+        # TPU; the XLA jit renderer elsewhere (Mosaic needs hardware).
+        args.renderer = (
+            "pallas" if (jax.default_backend() == "tpu" and args.mode == "reference")
+            else "jit"
+        )
 
     n = args.rays
     # Square-ish image covering n rays (n = w*h*4 with samples=1).
