@@ -197,6 +197,7 @@ def render_pt_impl(
     bounces: int = 8,
     rr_depth: int = 5,
     eps: float = 1e-4,
+    materials_static: tuple | None = None,
 ):
     """Full smallpt estimator: L = sum over bounces of throughput *
     emission(hit), with cosine-weighted diffuse, mirror and dielectric
@@ -205,6 +206,9 @@ def render_pt_impl(
     ``key``: a PRNG key; per-bounce subkeys are folded in, and per-ray
     streams are independent via the [N]-shaped draws (sharding-stable when
     the caller derives ``key`` from global ray indices).
+    ``materials_static``: optional static tuple of the scene's material
+    codes; when given, BSDF branches absent from the scene are compiled
+    out (e.g. no dielectric math for glass-free scenes).
     """
     o3, d3 = rays_to_soa(rays)
     n = o3[0].shape[0]
@@ -250,12 +254,20 @@ def render_pt_impl(
         is_diff = mat == DIFF
         is_refr = mat == REFR
 
-        d_diff = shade.cosine_sample_hemisphere(nl, u[0], u[1])
+        has_diff = materials_static is None or DIFF in materials_static
+        has_refr = materials_static is None or REFR in materials_static
+
         d_spec = shade.reflect(d3, nrm)
-        d_refr, refr_scale = shade.refract_or_reflect(d3, nrm, into, u[0])
+        d_diff = (
+            shade.cosine_sample_hemisphere(nl, u[0], u[1]) if has_diff else d_spec
+        )
+        if has_refr:
+            d_refr, refr_scale = shade.refract_or_reflect(d3, nrm, into, u[0])
+        else:
+            d_refr, refr_scale = d_spec, 1.0
 
         new_d = shade.v3_where(is_diff, d_diff, shade.v3_where(is_refr, d_refr, d_spec))
-        scale = jnp.where(is_refr, refr_scale, 1.0)
+        scale = jnp.where(is_refr, refr_scale, 1.0) if has_refr else 1.0
         tput2 = shade.v3_where(
             live,
             (tput[0] * alb[0] * scale, tput[1] * alb[1] * scale, tput[2] * alb[2] * scale),
@@ -288,7 +300,10 @@ def render_pt_impl(
     return jnp.stack(rad, axis=1)
 
 
-render_pt = jax.jit(render_pt_impl, static_argnames=("bounces", "rr_depth", "eps"))
+render_pt = jax.jit(
+    render_pt_impl,
+    static_argnames=("bounces", "rr_depth", "eps", "materials_static"),
+)
 
 
 def render_pt_nee_impl(

@@ -190,10 +190,14 @@ def main(argv=None) -> int:
         return 0
 
     if args.mode == "pt":
+        mats_static = tuple(int(m) for m in scenes.get_scene(scene_name).material)
 
         def fwd(params, key):
             sc = {**params, **aux}
-            return megakernel.render_pt_impl(key, rays, sc, bounces=args.bounces)
+            return megakernel.render_pt_impl(
+                key, rays, sc, bounces=args.bounces,
+                materials_static=mats_static,
+            )
 
     else:
 
