@@ -145,12 +145,29 @@ def _traverse_kernel(
             skip = jnp.where(active, nxt, skip)
             return skip, tmin, hit
 
-        return jax.lax.cond(count > 0, leaf_branch, inner_branch, (skip, tmin, hit))
+        skip, tmin, hit = jax.lax.cond(
+            count > 0, leaf_branch, inner_branch, (skip, tmin, hit)
+        )
+        # Global skip-jump: the next node anyone needs is min(skip); for
+        # coherent ray tiles this leaps over whole subtrees (the lockstep
+        # analogue of per-ray traversal skipping).
+        i_next = jnp.maximum(i + 1, jnp.min(skip))
+        return i_next, (skip, tmin, hit)
+
+    def cond_fn(carry):
+        i, _ = carry
+        return i < n_nodes
+
+    def body_fn(carry):
+        i, st = carry
+        return body(i, st)
 
     skip = jnp.zeros(shape, jnp.int32)
     tmin = jnp.full(shape, MISS_T, f32)
     hit = jnp.zeros(shape, jnp.int32)
-    skip, tmin, hit = jax.lax.fori_loop(0, n_nodes, body, (skip, tmin, hit))
+    _, (skip, tmin, hit) = jax.lax.while_loop(
+        cond_fn, body_fn, (jnp.int32(0), (skip, tmin, hit))
+    )
 
     tmin_ref[0] = tmin
     hit_ref[0] = hit
