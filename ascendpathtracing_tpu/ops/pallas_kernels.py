@@ -31,7 +31,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 MISS_T = 1e20
-DEFAULT_TILE = 2048
+# 4096 measured fastest on v5e for both fwd (783 Mrays/s) and fwd+bwd
+# replay (572 Mrays/s) at 4M rays / 8 bounces; 2048 and 8192 are slower.
+DEFAULT_TILE = 4096
 
 
 def _render_ref_kernel(
@@ -599,6 +601,284 @@ def render_pt_pallas(
 
 
 # ==========================================================================
+# Forward variant that ALSO emits the per-bounce winner index planes —
+# the residual that lets the backward replay the bounce products without
+# re-running intersection (see _render_ref_bwd_replay_kernel).
+# ==========================================================================
+def _render_ref_fwd_idx_kernel(
+    rays_ref, scene_ref, out_ref, idx_ref, *, n_spheres, light_index, bounces, eps
+):
+    """Same math as :func:`_render_ref_kernel`, plus ``idx_ref[k, :]`` =
+    the bounce-k winner sphere index (``n_spheres`` encodes a miss, which
+    the oracle wraps to the LAST sphere's data for shading but NOT for the
+    light-termination test — the two cases must stay distinguishable)."""
+    ox = rays_ref[0, :]
+    oy = rays_ref[1, :]
+    oz = rays_ref[2, :]
+    dx = rays_ref[3, :]
+    dy = rays_ref[4, :]
+    dz = rays_ref[5, :]
+
+    f = ox.dtype
+    shape = ox.shape
+    tr = jnp.ones(shape, f)
+    tg = jnp.ones(shape, f)
+    tb = jnp.ones(shape, f)
+    alive = jnp.ones(shape, jnp.bool_)
+
+    def sphere_scalar(plane, s):
+        return scene_ref[plane, s]
+
+    for k in range(bounces):
+        tmin = jnp.full(shape, MISS_T, f)
+        last = n_spheres - 1
+        w_cx = jnp.full(shape, sphere_scalar(1, last), f)
+        w_cy = jnp.full(shape, sphere_scalar(2, last), f)
+        w_cz = jnp.full(shape, sphere_scalar(3, last), f)
+        w_ar = jnp.full(shape, sphere_scalar(7, last), f)
+        w_ag = jnp.full(shape, sphere_scalar(8, last), f)
+        w_ab = jnp.full(shape, sphere_scalar(9, last), f)
+        w_light = jnp.zeros(shape, jnp.bool_)
+        w_idx = jnp.full(shape, last, jnp.int32)
+
+        for s in range(n_spheres):
+            r2 = sphere_scalar(0, s)
+            cx = sphere_scalar(1, s)
+            cy = sphere_scalar(2, s)
+            cz = sphere_scalar(3, s)
+            ocx = cx - ox
+            ocy = cy - oy
+            ocz = cz - oz
+            b = ocx * dx + ocy * dy + ocz * dz
+            c = ocx * ocx + ocy * ocy + ocz * ocz - r2
+            det = b * b - c
+            valid = det >= 0
+            sq = jnp.sqrt(jnp.where(valid, det, 0.0))
+            t0 = b - sq
+            t1 = b + sq
+            t = jnp.where(
+                valid & (t0 > eps), t0, jnp.where(valid & (t1 > eps), t1, MISS_T)
+            )
+            better = t < tmin
+            tmin = jnp.where(better, t, tmin)
+            w_cx = jnp.where(better, cx, w_cx)
+            w_cy = jnp.where(better, cy, w_cy)
+            w_cz = jnp.where(better, cz, w_cz)
+            w_ar = jnp.where(better, sphere_scalar(7, s), w_ar)
+            w_ag = jnp.where(better, sphere_scalar(8, s), w_ag)
+            w_ab = jnp.where(better, sphere_scalar(9, s), w_ab)
+            w_idx = jnp.where(better, s, w_idx)
+            if s == light_index:
+                w_light = w_light | better
+            else:
+                w_light = w_light & jnp.logical_not(better)
+
+        miss = tmin >= MISS_T
+        idx_ref[k, :] = jnp.where(miss, n_spheres, w_idx)
+
+        hx = ox + dx * tmin
+        hy = oy + dy * tmin
+        hz = oz + dz * tmin
+        nx = hx - w_cx
+        ny = hy - w_cy
+        nz = hz - w_cz
+        n2 = nx * nx + ny * ny + nz * nz
+        inv = jnp.where(n2 > 0, 1.0 / jnp.sqrt(n2), 0.0)
+        nx, ny, nz = nx * inv, ny * inv, nz * inv
+        dn = dx * nx + dy * ny + dz * nz
+        td = 2.0 * dn
+        dx, dy, dz = dx - td * nx, dy - td * ny, dz - td * nz
+        ox, oy, oz = hx, hy, hz
+
+        alive = alive & jnp.logical_not(w_light)
+        tr = jnp.where(alive, tr * w_ar, tr)
+        tg = jnp.where(alive, tg * w_ag, tg)
+        tb = jnp.where(alive, tb * w_ab, tb)
+
+    out_ref[0, :] = tr * scene_ref[4, light_index]
+    out_ref[1, :] = tg * scene_ref[5, light_index]
+    out_ref[2, :] = tb * scene_ref[6, light_index]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bounces", "eps", "tile", "light_index", "interpret"),
+)
+def render_reference_pallas_planes_with_idx(
+    rays_planes,
+    scene_planes,
+    *,
+    light_index: int,
+    bounces: int = 5,
+    eps: float = 1e-4,
+    tile: int = DEFAULT_TILE,
+    interpret: bool = False,
+):
+    """Fused render that also returns the per-bounce winner-index planes
+    (colors [3, N] f32, idx [bounces, N] i32) — the replay residual."""
+    n = rays_planes.shape[1]
+    s = scene_planes.shape[1]
+    if n % tile:
+        raise ValueError(f"ray count {n} not divisible by tile {tile}")
+    grid = (n // tile,)
+
+    kernel = functools.partial(
+        _render_ref_fwd_idx_kernel,
+        n_spheres=s,
+        light_index=light_index,
+        bounces=bounces,
+        eps=eps,
+    )
+    flops_per = s * 14 + 30
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((6, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((10, s), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((3, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bounces, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((3, n), rays_planes.dtype),
+            jax.ShapeDtypeStruct((bounces, n), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=n * bounces * flops_per,
+            bytes_accessed=(6 + 3 + bounces) * n * 4,
+            transcendentals=n * bounces * (s + 1),
+        ),
+        interpret=interpret,
+    )(rays_planes, scene_planes)
+
+
+def _render_ref_bwd_replay_kernel(
+    scene_ref,  # [10, S]
+    idx_ref,  # [bounces, 1, 8, L] i32 winner indices (S == miss)
+    g_ref,  # [3, 1, 8, L] cotangent
+    out_ref,  # [10, S] accumulated scene-plane grads (SMEM)
+    *,
+    n_spheres,
+    light_index,
+    bounces,
+):
+    """Replay backward: no intersection, no geometry — just the albedo
+    product chain reconstructed from the stored winner indices.  ~4x
+    fewer vector ops per bounce than the recompute backward."""
+    f32 = jnp.float32
+    b_id = pl.program_id(0)
+    last = n_spheres - 1
+
+    shape = g_ref[0, 0].shape
+    tr = jnp.ones(shape, f32)
+    tg = jnp.ones(shape, f32)
+    tb = jnp.ones(shape, f32)
+    alive = jnp.ones(shape, jnp.bool_)
+    dt_r = [jnp.zeros(shape, f32) for _ in range(n_spheres)]
+    dt_g = [jnp.zeros(shape, f32) for _ in range(n_spheres)]
+    dt_b = [jnp.zeros(shape, f32) for _ in range(n_spheres)]
+
+    for k in range(bounces):
+        idx = idx_ref[k, 0]
+        # One compare per sphere, shared by the albedo select chain and
+        # the product-rule pick below.  A miss (idx == n_spheres) wraps to
+        # the LAST sphere's albedo (oracle gen_data.py:343,390) but is not
+        # a light hit, exactly as the forward distinguishes them.
+        eq = [idx == s for s in range(last)]
+        eq.append((idx == last) | (idx == n_spheres))
+
+        # A miss encodes as idx == n_spheres, so this exact compare never
+        # fires for misses even when the light is the last sphere.
+        alive = alive & jnp.logical_not(idx == light_index)
+
+        w_ar = jnp.full(shape, scene_ref[7, last], f32)
+        w_ag = jnp.full(shape, scene_ref[8, last], f32)
+        w_ab = jnp.full(shape, scene_ref[9, last], f32)
+        for s in range(last):
+            w_ar = jnp.where(eq[s], scene_ref[7, s], w_ar)
+            w_ag = jnp.where(eq[s], scene_ref[8, s], w_ag)
+            w_ab = jnp.where(eq[s], scene_ref[9, s], w_ab)
+
+        mr = jnp.where(alive, w_ar, 1.0)
+        mg = jnp.where(alive, w_ag, 1.0)
+        mb = jnp.where(alive, w_ab, 1.0)
+        for s in range(n_spheres):
+            pick_f = jnp.where(alive & eq[s], 1.0, 0.0)
+            dt_r[s] = dt_r[s] * mr + pick_f * tr
+            dt_g[s] = dt_g[s] * mg + pick_f * tg
+            dt_b[s] = dt_b[s] * mb + pick_f * tb
+        tr = tr * mr
+        tg = tg * mg
+        tb = tb * mb
+
+    gr = g_ref[0, 0]
+    gg = g_ref[1, 0]
+    gb = g_ref[2, 0]
+    emi_r = scene_ref[4, light_index]
+    emi_g = scene_ref[5, light_index]
+    emi_b = scene_ref[6, light_index]
+
+    @pl.when(b_id == 0)
+    def _():
+        for p_ in range(10):
+            for s_ in range(n_spheres):
+                out_ref[p_, s_] = jnp.float32(0.0)
+
+    out_ref[4, light_index] = out_ref[4, light_index] + jnp.sum(gr * tr)
+    out_ref[5, light_index] = out_ref[5, light_index] + jnp.sum(gg * tg)
+    out_ref[6, light_index] = out_ref[6, light_index] + jnp.sum(gb * tb)
+    for s in range(n_spheres):
+        out_ref[7, s] = out_ref[7, s] + jnp.sum(gr * emi_r * dt_r[s])
+        out_ref[8, s] = out_ref[8, s] + jnp.sum(gg * emi_g * dt_g[s])
+        out_ref[9, s] = out_ref[9, s] + jnp.sum(gb * emi_b * dt_b[s])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bounces", "tile", "light_index", "interpret"),
+)
+def _render_ref_bwd_replay(
+    idx_planes, scene_planes, g_planes, *, light_index, bounces, tile,
+    interpret=False,
+):
+    n = idx_planes.shape[1]
+    s = scene_planes.shape[1]
+    if tile % 1024:
+        raise ValueError(f"{tile=} must be a multiple of 1024")
+    if n % tile:
+        raise ValueError(f"ray count {n} not divisible by {tile=}")
+    nb = n // tile
+    lanes = tile // 8
+    idx4 = idx_planes.reshape(bounces, nb, 8, lanes)
+    g4 = g_planes.reshape(3, nb, 8, lanes)
+    kernel = functools.partial(
+        _render_ref_bwd_replay_kernel,
+        n_spheres=s,
+        light_index=light_index,
+        bounces=bounces,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((10, s), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (bounces, 1, 8, lanes), lambda b: (0, b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (3, 1, 8, lanes), lambda b: (0, b, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec((10, s), lambda b: (0, 0), memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((10, s), jnp.float32),
+        interpret=interpret,
+    )(scene_planes, idx4, g4)
+
+
+# ==========================================================================
 # Custom VJP for the reference-mode render: one recompute pass with
 # product-rule accumulators.
 #
@@ -787,12 +1067,21 @@ def _render_ref_bwd(
 
 
 def make_render_reference_pallas_diff(
-    *, light_index, bounces=5, eps=1e-4, tile=DEFAULT_TILE, interpret=False
+    *, light_index, bounces=5, eps=1e-4, tile=DEFAULT_TILE, interpret=False,
+    replay=True,
 ):
     """Differentiable fused render: fn(rays_planes [6,N], scene_planes
     [10,S]) -> colors [3,N], with a hand-written Pallas backward for the
     scene planes (rays get exact zeros — their true gradient, see module
-    docstring)."""
+    docstring).
+
+    replay=True (default): the forward stores the per-bounce winner-index
+    planes (i32, bounces x N — ~bounces*4 bytes/ray of HBM residual) and
+    the backward replays the albedo product chain from them, skipping
+    intersection + geometry entirely (~4x fewer bwd vector ops).
+    replay=False: the original recompute backward (no residual beyond the
+    inputs).
+    """
 
     @jax.custom_vjp
     def render(rays_planes, scene_planes):
@@ -801,17 +1090,36 @@ def make_render_reference_pallas_diff(
             bounces=bounces, eps=eps, tile=tile, interpret=interpret,
         )
 
-    def fwd(rays_planes, scene_planes):
-        out = render(rays_planes, scene_planes)
-        return out, (rays_planes, scene_planes)
+    if replay:
 
-    def bwd(res, g):
-        rays_planes, scene_planes = res
-        d_scene = _render_ref_bwd(
-            rays_planes, scene_planes, g, light_index=light_index,
-            bounces=bounces, eps=eps, tile=tile, interpret=interpret,
-        )
-        return jnp.zeros_like(rays_planes), d_scene
+        def fwd(rays_planes, scene_planes):
+            out, idx = render_reference_pallas_planes_with_idx(
+                rays_planes, scene_planes, light_index=light_index,
+                bounces=bounces, eps=eps, tile=tile, interpret=interpret,
+            )
+            return out, (rays_planes, scene_planes, idx)
+
+        def bwd(res, g):
+            rays_planes, scene_planes, idx = res
+            d_scene = _render_ref_bwd_replay(
+                idx, scene_planes, g, light_index=light_index,
+                bounces=bounces, tile=tile, interpret=interpret,
+            )
+            return jnp.zeros_like(rays_planes), d_scene
+
+    else:
+
+        def fwd(rays_planes, scene_planes):
+            out = render(rays_planes, scene_planes)
+            return out, (rays_planes, scene_planes)
+
+        def bwd(res, g):
+            rays_planes, scene_planes = res
+            d_scene = _render_ref_bwd(
+                rays_planes, scene_planes, g, light_index=light_index,
+                bounces=bounces, eps=eps, tile=tile, interpret=interpret,
+            )
+            return jnp.zeros_like(rays_planes), d_scene
 
     render.defvjp(fwd, bwd)
     return render

@@ -37,7 +37,7 @@ def main(argv=None) -> int:
     )
     p.add_argument("--pool", type=int, default=1 << 19, help="wavefront ray pool")
     p.add_argument("--spp", type=int, default=64, help="wavefront samples/pixel")
-    p.add_argument("--tile", type=int, default=2048, help="pallas ray tile")
+    p.add_argument("--tile", type=int, default=4096, help="pallas ray tile")
     p.add_argument("--fwd-only", action="store_true")
     args = p.parse_args(argv)
 
