@@ -172,7 +172,14 @@ def cmd_render(args) -> int:
     elif mesh_scene is not None:
         from ascendpathtracing_tpu.models import mesh as mesh_mod
 
-        mdev = mesh_mod.mesh_scene_to_device(mesh_scene)
+        # Pallas stackless traversal on TPU (the jnp while_loop traversal
+        # is gather-bound, measured ~1000x slower on hardware); the jnp
+        # path stays the CPU default because the interpreted kernel is
+        # slower than XLA:CPU's native gather.
+        use_kernel = jax.default_backend() == "tpu"
+        mdev = mesh_mod.mesh_scene_to_device(
+            mesh_scene, pallas_bvh_kernel=use_kernel
+        )
         key = jax.random.PRNGKey(args.seed)
         colors = mesh_mod.render_pt_mesh(key, rays, mdev, bounces=args.bounces)
     else:

@@ -20,6 +20,7 @@ import numpy as np
 from ascendpathtracing_tpu.accel import bvh as bvh_mod
 from ascendpathtracing_tpu.accel import tri as tri_mod
 from ascendpathtracing_tpu.ops import pallas_bvh as pallas_bvh_mod
+from ascendpathtracing_tpu.ops import sort as sort_mod
 from ascendpathtracing_tpu.models import megakernel
 from ascendpathtracing_tpu.models.megakernel import select_by_id
 from ascendpathtracing_tpu.ops import shade
@@ -110,19 +111,47 @@ def mesh_scene_to_device(
     }
 
 
+# Ray-sorting pays past ~128k rays on v5e: the fused key/value sorts cost
+# a fixed ~10 ms while the traversal saving scales with n (1.9x at 1M
+# incoherent rays). Below this, tiles are few and the sort dominates.
+_SORT_MIN_N = 131072
+
+
 def _split_static(dev):
     ml = dev["max_leaf"]
     return {k: v for k, v in dev.items() if k != "max_leaf"}, ml
 
 
-def _mesh_hit(o3, d3, dev, eps, max_leaf):
+def _mesh_hit(o3, d3, dev, eps, max_leaf, sort=True):
     """Nearest triangle hit via the Pallas traversal kernel, the jnp
-    while_loop traversal, or brute force (in that priority)."""
+    while_loop traversal, or brute force (in that priority).
+
+    sort=True reorders rays by a direction-octant + origin-Morton key
+    before the lockstep kernel (ops/sort.py) and scatters results back —
+    per-ray results are exactly unchanged (traversal is per-lane exact),
+    but tiles become coherent, which the O(union-of-visited-nodes) kernel
+    converts into measured 3-4x throughput on bounced rays."""
     if dev.get("pallas_bvh") is not None:
         nodesf, nodesi, tris9 = dev["pallas_bvh"]
         n = o3[0].shape[0]
-        # pad rays to a tile multiple for the kernel
-        tile = 1024
+        ridx = None
+        if sort and n >= _SORT_MIN_N:
+            # root node bbox == scene bounds for the quantization grid
+            lo = nodesf[0, 0:3]
+            hi = nodesf[0, 3:6]
+            keys = sort_mod.ray_sort_keys(o3, d3, lo, hi)
+            # multi-operand sort carries the ray planes + original index
+            # along with the key — 1-D gathers/scatters are serialized on
+            # TPU (measured 16 ms for 65k rays vs ~2 ms for fused sort)
+            ridx = jnp.arange(n, dtype=jnp.int32)
+            _, ox_, oy_, oz_, dx_, dy_, dz_, ridx = jax.lax.sort(
+                (keys, *o3, *d3, ridx), num_keys=1
+            )
+            o3 = (ox_, oy_, oz_)
+            d3 = (dx_, dy_, dz_)
+        # larger tiles amortize the per-tile node sweep (8192 measured
+        # fastest on v5e at >=1M rays; tiny inputs keep 1024 to bound pad)
+        tile = 8192 if n >= 8192 else 1024
         n_pad = -(-n // tile) * tile
         rp = jnp.stack([*o3, *d3], axis=0)
         if n_pad != n:
@@ -134,6 +163,9 @@ def _mesh_hit(o3, d3, dev, eps, max_leaf):
         )
         tmin = tmin[:n].astype(o3[0].dtype)
         hit = hit[:n]
+        if ridx is not None:
+            # restore caller order with a second fused sort (by ridx)
+            _, tmin, hit = jax.lax.sort((ridx, tmin, hit), num_keys=1)
         return tmin, hit, tmin >= jnp.asarray(MISS_T, tmin.dtype)
     if dev["bvh"] is not None:
         return bvh_mod.intersect_bvh(

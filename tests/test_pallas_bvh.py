@@ -36,3 +36,36 @@ def test_pallas_traversal_matches_jnp():
     np.testing.assert_array_equal(np.asarray(t_p), np.asarray(t_j))
     hits = np.asarray(t_j) < 1e19
     assert (np.asarray(h_p)[hits] == np.asarray(h_j)[hits]).all()
+
+
+def test_mesh_hit_sorted_equals_unsorted():
+    """Morton-sorting rays before the lockstep kernel must not change any
+    per-ray result (traversal is per-lane exact; sorting only regroups
+    tiles). Exercises the scatter-back path in models/mesh._mesh_hit."""
+    from ascendpathtracing_tpu.models import mesh as mesh_mod
+
+    rng = np.random.RandomState(1)
+    v, f = meshes.icosphere(subdivisions=2)
+    ms = mesh_mod.MeshScene.cornell_with_mesh(v * 10 + 50, f)
+    dev = mesh_mod.mesh_scene_to_device(ms, pallas_bvh_kernel=True)
+
+    n = 4096
+    o = (rng.randn(n, 3) * 20 + 50).astype(np.float32)
+    d = rng.randn(n, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o3 = tuple(jnp.asarray(o[:, i]) for i in range(3))
+    d3 = tuple(jnp.asarray(d[:, i]) for i in range(3))
+
+    saved = mesh_mod._SORT_MIN_N
+    mesh_mod._SORT_MIN_N = 0  # force the sort path at test-size n
+    try:
+        t_s, h_s, m_s = mesh_mod._mesh_hit(
+            o3, d3, dev, 1e-4, dev["max_leaf"], sort=True
+        )
+    finally:
+        mesh_mod._SORT_MIN_N = saved
+    t_u, h_u, m_u = mesh_mod._mesh_hit(o3, d3, dev, 1e-4, dev["max_leaf"], sort=False)
+    np.testing.assert_array_equal(np.asarray(t_s), np.asarray(t_u))
+    np.testing.assert_array_equal(np.asarray(m_s), np.asarray(m_u))
+    hits = np.asarray(t_u) < 1e19
+    assert (np.asarray(h_s)[hits] == np.asarray(h_u)[hits]).all()
