@@ -26,12 +26,23 @@ class NativeUnavailable(RuntimeError):
     pass
 
 
+def _stale() -> bool:
+    if not os.path.exists(_LIB_PATH):
+        return True
+    lib_mtime = os.path.getmtime(_LIB_PATH)
+    src_dir = os.path.abspath(_NATIVE_DIR)
+    return any(
+        f.endswith(".cpp") and os.path.getmtime(os.path.join(src_dir, f)) > lib_mtime
+        for f in os.listdir(src_dir)
+    )
+
+
 def _load() -> ctypes.CDLL:
     global _lib
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_LIB_PATH):
+        if _stale():
             try:
                 subprocess.run(
                     ["make", "-C", os.path.abspath(_NATIVE_DIR)],
@@ -58,6 +69,15 @@ def _load() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_int32),  # miss
             ctypes.POINTER(ctypes.c_int32),  # tri_order
             ctypes.c_int32,  # max_nodes
+        ]
+        lib.apt_encode_ppm.restype = ctypes.c_int64
+        lib.apt_encode_ppm.argtypes = [
+            ctypes.POINTER(ctypes.c_float),  # planes [3, w*h*4*s]
+            ctypes.c_int32,  # width
+            ctypes.c_int32,  # height
+            ctypes.c_int32,  # samples
+            ctypes.c_char_p,  # out text buffer
+            ctypes.c_int64,  # max_len
         ]
         _lib = lib
         return lib
@@ -115,3 +135,26 @@ def build_bvh_native(vertices, faces, *, max_leaf: int = 4, n_bins: int = 16):
         tri_order=order[:f].copy(),
         max_leaf=max_leaf,
     )
+
+
+def encode_ppm_native(planes, width: int, height: int, samples: int) -> str:
+    """Fused decode (sub-pixel averaging + flip + clip) and ASCII P3
+    encode in C++ — bit-exact with utils/io.decode_color + encode_ppm.
+
+    planes: float32 [3, width*height*4*samples] color planes.
+    """
+    lib = _load()
+    planes = np.ascontiguousarray(planes, np.float32)
+    n = width * height * 4 * samples
+    if planes.shape != (3, n):
+        raise ValueError(f"expected [3, {n}] planes, got {planes.shape}")
+    # worst case: 4 chars/value + newline per line + header
+    max_len = width * (height * 3 * 4 + 2) + 64
+    buf = ctypes.create_string_buffer(max_len)
+    written = lib.apt_encode_ppm(
+        planes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        width, height, samples, buf, max_len,
+    )
+    if written < 0:
+        raise RuntimeError("apt_encode_ppm: buffer too small")
+    return buf.raw[:written].decode("ascii")

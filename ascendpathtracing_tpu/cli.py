@@ -195,8 +195,8 @@ def cmd_render(args) -> int:
         assert_finite(colors, "render")
 
     io.write_color_bin(colors, f"{args.out}/color.bin")
-    img = io.decode_color(colors, w, h, s)
-    io.write_ppm(img, f"{args.out}/color.ppm")
+    # native (C++) fused decode+encode when available, Python otherwise
+    img = io.write_render_ppm(colors, w, h, s, f"{args.out}/color.ppm")
 
     if args.aov == "depth":
         depth = np.asarray(megakernel.render_depth(rays, dev))

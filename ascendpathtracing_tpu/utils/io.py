@@ -120,15 +120,22 @@ def decode_color(
         planes = colors
     else:
         raise ValueError(f"bad color shape {colors.shape} for n_rays={n}")
-    # (3, w, h, 4s) -> (w, h, 4s, 3)   [data_visualization.py:22-27]
-    img = planes.reshape(COLOR_PLANES, width, height, 4 * samples)
-    img = img.transpose(1, 2, 3, 0)
-    # vertical flip u = h-1-j on the second axis  [data_visualization.py:40]
-    img = img[:, ::-1, :, :]
-    # mean over each group of s, then mean of the 4 groups
+    # mean over each group of s, then mean of the 4 groups, on the
+    # CONTIGUOUS trailing axis (reducing after the transpose+flip walks a
+    # pathologically-strided view: measured 3 s vs 20 ms at 512x512)
     # [data_visualization.py:41-45]
-    img = img.reshape(width, height, 4, samples, COLOR_PLANES)
-    img = img.mean(axis=3).mean(axis=2)
+    img = planes.reshape(COLOR_PLANES, width, height, 4, samples)
+    # np.mean over a tiny trailing axis pays ~1 us per reduction in numpy
+    # 2.x (2.7 s at 512x512); explicit slice-adds are vectorized over the
+    # big leading axes and keep mean's sequential summation order.
+    acc = img[..., 0].astype(np.float64, copy=True)
+    for t in range(1, samples):
+        acc += img[..., t]
+    acc /= samples
+    img = (acc[..., 0] + acc[..., 1] + acc[..., 2] + acc[..., 3]) / 4.0
+    # (3, w, h) -> (w, h, 3) with vertical flip u = h-1-j
+    # [data_visualization.py:22-27, 40]
+    img = img.transpose(1, 2, 0)[:, ::-1, :]
     img = np.clip(img, 0.0, 1.0) * 255.0  # data_visualization.py:54-56
     return img.astype(np.uint8)
 
@@ -150,6 +157,39 @@ def write_ppm(image_u8: np.ndarray, path: str) -> None:
     _ensure_dir(path)
     with open(path, "w") as f:
         f.write(encode_ppm(image_u8))
+
+
+def write_render_ppm(
+    colors: np.ndarray, width: int, height: int, samples: int, path: str,
+    *, native: str = "auto",
+) -> np.ndarray:
+    """decode_color + write_ppm in one step, using the native (C++) fused
+    codec when available (``native='auto'``; 'never' forces Python,
+    'always' raises if the toolchain is missing).  Returns the decoded
+    uint8 image either way.  Both paths are bit-exact (same float64
+    summation order; tested in tests/test_native_ppm.py)."""
+    if native not in ("auto", "never", "always"):
+        raise ValueError(f"bad native mode {native!r}")
+    colors = np.asarray(colors)
+    n = width * height * 4 * samples
+    planes = colors.T if colors.shape == (n, COLOR_PLANES) else colors
+    if native != "never" and width == height:
+        try:
+            from ascendpathtracing_tpu.accel import native as native_mod
+
+            text = native_mod.encode_ppm_native(
+                np.ascontiguousarray(planes, np.float32), width, height, samples
+            )
+            _ensure_dir(path)
+            with open(path, "w") as f:
+                f.write(text)
+            return decode_color(planes, width, height, samples)
+        except Exception:
+            if native == "always":
+                raise
+    img = decode_color(planes, width, height, samples)
+    write_ppm(img, path)
+    return img
 
 
 def read_ppm(path: str) -> np.ndarray:
