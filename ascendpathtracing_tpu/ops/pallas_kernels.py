@@ -222,6 +222,7 @@ def render_reference_pallas(
 # workload.
 # ==========================================================================
 def _render_pt_kernel(
+    seed_ref,
     scene_ref,
     out_ref,
     u_scratch,
@@ -234,7 +235,6 @@ def _render_pt_kernel(
     bounces,
     rr_depth,
     eps,
-    seed,
     cam_consts,
 ):
     """One (pixel-tile, sample-layer) grid cell: TILE pixels, one sample
@@ -250,7 +250,8 @@ def _render_pt_kernel(
     b = pl.program_id(0)
     a = pl.program_id(1)
     n_layers = pl.num_programs(1)
-    pltpu.prng_seed(seed + b * n_layers + a)
+    # seed arrives as a traced SMEM scalar so reseeding never recompiles
+    pltpu.prng_seed(seed_ref[0] + b * n_layers + a)
 
     # All vector state is 2-D (8, L): rank-1 vectors inside a Mosaic
     # fori_loop carry hit a layout-inference check failure, and 2-D tiles
@@ -520,7 +521,7 @@ def _render_pt_kernel(
     jax.jit,
     static_argnames=(
         "width", "height", "spp4", "materials", "light_index", "bounces",
-        "rr_depth", "eps", "tile", "seed", "interpret",
+        "rr_depth", "eps", "tile", "interpret",
     ),
 )
 def render_pt_pallas(
@@ -535,7 +536,7 @@ def render_pt_pallas(
     rr_depth: int = 5,
     eps: float = 1e-4,
     tile: int = 2048,
-    seed: int = 0,
+    seed=0,
     interpret: bool = False,
 ):
     """Fully-fused path trace: no ray input, per-pixel mean output [3, W*H].
@@ -574,15 +575,18 @@ def render_pt_pallas(
         bounces=bounces,
         rr_depth=rr_depth,
         eps=eps,
-        seed=seed,
         cam_consts=cam_consts,
     )
     s = scene_planes.shape[1]
     total = n_pix * spp4
+    seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec((10, s), lambda b, a: (0, 0), memory_space=pltpu.VMEM)],
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((10, s), lambda b, a: (0, 0), memory_space=pltpu.VMEM),
+        ],
         out_specs=pl.BlockSpec(
             (3, 1, 8, tile // 8), lambda b, a: (0, b, 0, 0),
             memory_space=pltpu.VMEM,
@@ -595,7 +599,7 @@ def render_pt_pallas(
             transcendentals=total * bounces * (len(materials) + 8),
         ),
         interpret=interpret,
-    )(scene_planes)
+    )(seed_arr, scene_planes)
     # (3, nb, 8, L) row-major == pixel order b*tile + sub*L + lane
     return out.reshape(3, n_pix)
 
