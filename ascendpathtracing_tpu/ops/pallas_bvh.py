@@ -184,7 +184,7 @@ def intersect_bvh_pallas(
     *,
     max_leaf: int = 4,
     eps: float = 1e-4,
-    tile: int = 2048,
+    tile: int = 8192,
     interpret: bool = False,
 ):
     """Stackless BVH traversal over ray tiles.
