@@ -89,3 +89,60 @@ def merge(*meshes):
         fs.append(np.asarray(f, np.int64) + off)
         off += len(v)
     return np.concatenate(vs), np.concatenate(fs)
+
+
+def transform(v, *, scale=1.0, rotate_y=0.0, translate=(0.0, 0.0, 0.0)):
+    """Scale -> rotate about +Y -> translate a vertex array (host-side)."""
+    v = np.asarray(v, np.float64) * float(scale)
+    if rotate_y:
+        c, s = np.cos(rotate_y), np.sin(rotate_y)
+        rot = np.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]])
+        v = v @ rot.T
+    return v + np.asarray(translate, np.float64)
+
+
+def load_obj(path):
+    """Minimal Wavefront OBJ reader -> (vertices [V,3] f64, faces [F,3] i64).
+
+    Supports ``v`` and ``f`` records; polygon faces are fan-triangulated;
+    ``f`` indices may be 1-based, negative (relative), or ``v/vt/vn``
+    tuples (only the vertex index is used — normals are recomputed by the
+    renderer from geometry, and there is no texture pipeline, matching the
+    reference's untextured scenes).  Ignores vt/vn/materials/groups.
+    """
+    verts: list = []
+    tris: list = []
+    with open(path) as fh:
+        for line in fh:
+            parts = line.split()
+            if not parts or parts[0].startswith("#"):
+                continue
+            if parts[0] == "v" and len(parts) >= 4:
+                verts.append([float(parts[1]), float(parts[2]), float(parts[3])])
+            elif parts[0] == "f" and len(parts) >= 4:
+                idx = []
+                for tok in parts[1:]:
+                    i = int(tok.split("/")[0])
+                    # OBJ is 1-based; negative indexes count from the end.
+                    idx.append(i - 1 if i > 0 else len(verts) + i)
+                for k in range(1, len(idx) - 1):
+                    tris.append([idx[0], idx[k], idx[k + 1]])
+    if not verts or not tris:
+        raise ValueError(f"no geometry in OBJ file {path!r}")
+    v = np.asarray(verts, np.float64)
+    f = np.asarray(tris, np.int64)
+    if f.min() < 0 or f.max() >= len(v):
+        raise ValueError(f"face index out of range in {path!r}")
+    return v, f
+
+
+def save_obj(path, v, f):
+    """Write (vertices, faces) as a Wavefront OBJ (triangles, 1-based)."""
+    v = np.asarray(v, np.float64)
+    f = np.asarray(f, np.int64)
+    with open(path, "w") as fh:
+        fh.write("# ascendpathtracing_tpu mesh\n")
+        for x, y, z in v:
+            fh.write(f"v {x:.9g} {y:.9g} {z:.9g}\n")
+        for a, b, c in f + 1:
+            fh.write(f"f {a} {b} {c}\n")

@@ -38,7 +38,7 @@ def _parse_args(argv):
     r.add_argument(
         "--scene", default=None,
         help="default: cornell8 (reference) / smallpt9 (pt); pt mode also "
-        "accepts mesh demos: mesh-cube, mesh-icosphere",
+        "accepts mesh scenes: mesh-cube, mesh-icosphere, mesh-obj:<path>",
     )
     r.add_argument("--seed", type=int, default=0)
     r.add_argument("--backend", choices=["auto", "cpu", "tpu"], default="auto")
@@ -127,9 +127,17 @@ def cmd_render(args) -> int:
             v, f = mesh_lib.cube(center=(50, 30, 60), size=25.0)
         elif kind == "icosphere":
             v, f = mesh_lib.icosphere(center=(50, 40, 60), radius=14.0, subdivisions=3)
+        elif kind.startswith("obj:"):
+            # mesh-obj:<path> — user mesh, auto-fit into the Cornell box.
+            v, f = mesh_lib.load_obj(kind[len("obj:"):])
+            lo, hi = v.min(axis=0), v.max(axis=0)
+            scale = 28.0 / max(float((hi - lo).max()), 1e-9)
+            v = mesh_lib.transform(
+                v - (lo + hi) / 2.0, scale=scale, translate=(50.0, 35.0, 60.0)
+            )
         else:
             print(f"error: unknown mesh scene {scene_name!r} "
-                  "(mesh-cube, mesh-icosphere)", file=sys.stderr)
+                  "(mesh-cube, mesh-icosphere, mesh-obj:<path>)", file=sys.stderr)
             return 2
         mesh_scene = mesh_mod.MeshScene.cornell_with_mesh(
             v, f, albedo=(0.85, 0.55, 0.2)
