@@ -67,6 +67,14 @@ def _parse_args(argv):
     t.add_argument("--resume", action="store_true")
     t.add_argument("--ckpt-every", type=int, default=20)
 
+    st = sub.add_parser(
+        "selftest",
+        help="hardware doctor: quick correctness checks of every compute "
+        "path (jit/oracle, Pallas fwd, custom-VJP grads, pt energy) on "
+        "the current backend",
+    )
+    st.add_argument("--backend", choices=["auto", "cpu", "tpu"], default="auto")
+
     o = sub.add_parser("oracle", help="run only the NumPy oracle")
     o.add_argument("--width", type=int, default=16)
     o.add_argument("--height", type=int, default=16)
@@ -238,6 +246,114 @@ def cmd_render(args) -> int:
     return 0
 
 
+def cmd_selftest(args) -> int:
+    """Hardware doctor — the TPU-native analogue of the reference's
+    sim-mode verification sweep (run.sh:74-81 camodel + gen_data.py
+    oracles): one quick correctness check per compute path, on whatever
+    backend is selected.  Prints one JSON line per check; exit 0 iff all
+    pass."""
+    jax = _setup_backend(args.backend)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ascendpathtracing_tpu import camera, oracle, scenes
+    from ascendpathtracing_tpu.models import megakernel
+    from ascendpathtracing_tpu.ops import pallas_kernels as pk
+
+    on_tpu = jax.default_backend() == "tpu"
+    interpret = not on_tpu
+    checks = []
+
+    def report(name, ok, **detail):
+        checks.append(bool(ok))
+        print(json.dumps({"check": name, "ok": bool(ok), **detail}))
+
+    scene = scenes.cornell8()
+    rays = camera.generate_rays_numpy(16, 16, 1, seed=0).astype(np.float32)
+    planes = jnp.asarray(scene.soa10())
+    rp = jnp.asarray(rays.T.copy())
+    dev = megakernel.scene_to_device(scene)
+
+    # 1. jit megakernel vs NumPy oracle, single bounce (f32-stable: no
+    #    multi-bounce chaos at 1 bounce — tests/test_reference_parity.py).
+    img = np.asarray(
+        megakernel.render_reference_impl(jnp.asarray(rays), dev, bounces=1)
+    )
+    ora = oracle.render_reference_numpy(rays, scene, bounces=1)
+    err = float(np.abs(img - ora).max())
+    report("jit_vs_oracle_1bounce", err == 0.0, max_abs_err=err)
+
+    # 2. Pallas fused forward vs jit, 1 bounce, bitwise.
+    pal = np.asarray(
+        pk.render_reference_pallas_planes(
+            rp, planes, light_index=scene.light_index, bounces=1,
+            tile=1024, interpret=interpret,
+        )
+    ).T
+    err = float(np.abs(pal - img).max())
+    report("pallas_fwd_vs_jit_1bounce", err == 0.0, max_abs_err=err,
+           interpret=interpret)
+
+    # 3. Custom-VJP gradients vs XLA AD, 1 bounce (exact at 1 bounce; at
+    #    depth the f32 hit decisions are chaotic by construction).
+    render = pk.make_render_reference_pallas_diff(
+        light_index=scene.light_index, bounces=1, tile=1024,
+        interpret=interpret, replay=True,
+    )
+    gp = np.asarray(jax.grad(lambda p: jnp.sum(render(rp, p)))(planes))
+
+    def loss(alb, emi):
+        sc = dict(dev, albedo=alb, emission=emi)
+        return jnp.sum(
+            megakernel.render_reference_impl(jnp.asarray(rays), sc, bounces=1)
+        )
+
+    ga, ge = jax.grad(loss, argnums=(0, 1))(dev["albedo"], dev["emission"])
+    ea = float(np.abs(gp[7:10].T - np.asarray(ga)).max())
+    ee = float(np.abs(gp[4:7].T - np.asarray(ge)).max())
+    eg = float(np.abs(gp[0:4]).max())
+    gref = float(np.abs(np.asarray(ga)).max())
+    ok = ea <= 1e-4 * max(gref, 1.0) and ee <= 1e-3 and eg == 0.0
+    report("custom_vjp_grads_vs_ad_1bounce", ok, albedo_err=ea,
+           emission_err=ee, geom_grads=eg)
+
+    # 4. pt-mode energy: fully-fused Pallas PT vs jit PT estimator means
+    #    (real-TPU only: the Pallas interpreter stubs prng_random_bits).
+    if on_tpu:
+        w = h = 32
+        spp4 = 16
+        mats = tuple(int(m) for m in scene.material)
+        img_p = np.asarray(
+            pk.render_pt_pallas(
+                planes, width=w, height=h, spp4=spp4, materials=mats,
+                light_index=scene.light_index, bounces=4, rr_depth=3,
+                tile=1024,
+            )
+        )
+        rays4 = camera.generate_rays_numpy(w, h, spp4 // 4, seed=0).astype(
+            np.float32
+        )
+        img_j = np.asarray(
+            megakernel.render_pt_impl(
+                jax.random.PRNGKey(0), jnp.asarray(rays4), dev, bounces=4,
+                rr_depth=3, materials_static=mats,
+            )
+        )
+        mp, mj = float(img_p.mean()), float(img_j.mean())
+        rel = abs(mp - mj) / max(mj, 1e-9)
+        report("pt_pallas_energy_vs_jit", rel < 0.15 and np.isfinite(mp),
+               pallas_mean=mp, jit_mean=mj, rel_diff=rel)
+    else:
+        print(json.dumps({"check": "pt_pallas_energy_vs_jit",
+                          "skipped": "needs real TPU RNG"}))
+
+    n_ok = sum(checks)
+    print(json.dumps({"selftest": "PASS" if n_ok == len(checks) else "FAIL",
+                      "passed": n_ok, "ran": len(checks),
+                      "backend": jax.default_backend()}))
+    return 0 if n_ok == len(checks) else 1
+
+
 def cmd_oracle(args) -> int:
     import numpy as np
 
@@ -307,6 +423,8 @@ def main(argv=None) -> int:
         return cmd_train(args)
     if args.cmd == "oracle":
         return cmd_oracle(args)
+    if args.cmd == "selftest":
+        return cmd_selftest(args)
     return 1
 
 
