@@ -57,7 +57,7 @@ class MeshScene:
 
 
 def mesh_scene_to_device(
-    ms: MeshScene, dtype=jnp.float32, use_bvh=True, max_leaf=4,
+    ms: MeshScene, dtype=jnp.float32, use_bvh=True, max_leaf=None,
     pallas_bvh_kernel=False,
 ):
     """MeshScene -> device pytree. Triangles are permuted into BVH leaf
@@ -69,6 +69,11 @@ def mesh_scene_to_device(
     interpret mode. The jnp while_loop traversal is gather-bound and
     effectively unusable on real TPU hardware (measured ~1000x slower).
     """
+    if max_leaf is None:
+        # The lockstep Pallas kernel is fastest with fat leaves (shallow
+        # tree, fewer per-node scalar steps; measured 63 Mrays/s at 64 vs
+        # 32 at 4 on v5e); the unrolled jnp traversal wants small ones.
+        max_leaf = 64 if pallas_bvh_kernel else 4
     np_dtype = np.float64 if dtype == jnp.float64 else np.float32
     sph = megakernel.scene_to_device(ms.spheres, dtype)
     v = np.asarray(ms.vertices, np_dtype)
@@ -149,16 +154,17 @@ def _mesh_hit(o3, d3, dev, eps, max_leaf, sort=True):
             )
             o3 = (ox_, oy_, oz_)
             d3 = (dx_, dy_, dz_)
-        # larger tiles amortize the per-tile node sweep (8192 measured
-        # fastest on v5e at >=1M rays; tiny inputs keep 1024 to bound pad)
-        tile = 8192 if n >= 8192 else 1024
+        # 4096 balances vector-op width against per-tile node-union size
+        # (measured fastest on v5e with fat leaves; tiny inputs keep 1024
+        # to bound pad)
+        tile = 4096 if n >= 4096 else 1024
         n_pad = -(-n // tile) * tile
         rp = jnp.stack([*o3, *d3], axis=0)
         if n_pad != n:
             rp = jnp.pad(rp, ((0, 0), (0, n_pad - n)))
         tmin, hit = pallas_bvh_mod.intersect_bvh_pallas(
             rp.astype(jnp.float32), nodesf, nodesi, tris9,
-            max_leaf=max_leaf, eps=eps, tile=tile,
+            max_leaf=max_leaf, eps=eps, tile=tile, jump_every=8,
             interpret=(jax.devices()[0].platform != "tpu"),
         )
         tmin = tmin[:n].astype(o3[0].dtype)

@@ -48,6 +48,7 @@ def _traverse_kernel(
     n_nodes,
     max_leaf,
     eps,
+    jump_every,
 ):
     f32 = jnp.float32
     ox = rays_ref[0, 0]
@@ -100,7 +101,7 @@ def _traverse_kernel(
         hit2 = jnp.where(better, tidx, hit)
         return tmin2, hit2
 
-    def body(i, st):
+    def body(i, step, st):
         skip, tmin, hit = st
         bminx = nodesf_ref[i, 0]
         bminy = nodesf_ref[i, 1]
@@ -129,44 +130,60 @@ def _traverse_kernel(
         )
         box_hit = active & (tfar >= jnp.maximum(tnear, 0.0)) & (tnear < tmin)
 
-        def leaf_branch(args):
-            skip, tmin, hit = args
+        # Unified skip update (no leaf/inner branch): a descending ray
+        # goes to i+1 only at an inner node it box-hits; everywhere else
+        # (leaf, or box miss) it goes to the miss link.
+        is_leaf = count > 0
+        miss_v = jnp.full(shape, miss, jnp.int32)
+        desc = box_hit & jnp.logical_not(jnp.full(shape, is_leaf))
+        nxt = jnp.where(desc, jnp.full(shape, i + 1, jnp.int32), miss_v)
+        skip = jnp.where(active, nxt, skip)
+
+        # Tri tests only at a leaf some ray actually box-hits: a leaf is
+        # often *visited* (a skip cursor lands here) while no ray
+        # overlaps its box — the max_leaf tri-test block (the most
+        # expensive code in the kernel) is then skipped by one scalar
+        # branch.
+        def do_tris(args2):
+            tmin, hit = args2
             for k in range(max_leaf):
                 valid = box_hit & (k < jnp.full(shape, count))
                 tmin, hit = tri_test(first + k, valid, tmin, hit)
-            miss_v = jnp.full(shape, miss, jnp.int32)
-            skip = jnp.where(active, miss_v, skip)
-            return skip, tmin, hit
+            return tmin, hit
 
-        def inner_branch(args):
-            skip, tmin, hit = args
-            miss_v = jnp.full(shape, miss, jnp.int32)
-            nxt = jnp.where(box_hit, jnp.full(shape, i + 1, jnp.int32), miss_v)
-            skip = jnp.where(active, nxt, skip)
-            return skip, tmin, hit
-
-        skip, tmin, hit = jax.lax.cond(
-            count > 0, leaf_branch, inner_branch, (skip, tmin, hit)
+        tmin, hit = jax.lax.cond(
+            is_leaf & jnp.any(box_hit), do_tris, lambda a: a, (tmin, hit)
         )
         # Global skip-jump: the next node anyone needs is min(skip); for
         # coherent ray tiles this leaps over whole subtrees (the lockstep
-        # analogue of per-ray traversal skipping).
-        i_next = jnp.maximum(i + 1, jnp.min(skip))
+        # analogue of per-ray traversal skipping).  The full-tile min
+        # reduce has a real per-node cost, so it can be amortized to
+        # every `jump_every`-th step (i+1 in between is conservative —
+        # never skips a node a ray still needs).
+        if jump_every <= 1:
+            i_next = jnp.maximum(i + 1, jnp.min(skip))
+        else:
+            i_next = jax.lax.cond(
+                step % jump_every == 0,
+                lambda: jnp.maximum(i + 1, jnp.min(skip)),
+                lambda: i + 1,
+            )
         return i_next, (skip, tmin, hit)
 
     def cond_fn(carry):
-        i, _ = carry
+        i, _step, _ = carry
         return i < n_nodes
 
     def body_fn(carry):
-        i, st = carry
-        return body(i, st)
+        i, step, st = carry
+        i_next, st = body(i, step, st)
+        return i_next, step + 1, st
 
     skip = jnp.zeros(shape, jnp.int32)
     tmin = jnp.full(shape, MISS_T, f32)
     hit = jnp.zeros(shape, jnp.int32)
-    _, (skip, tmin, hit) = jax.lax.while_loop(
-        cond_fn, body_fn, (jnp.int32(0), (skip, tmin, hit))
+    _, _, (skip, tmin, hit) = jax.lax.while_loop(
+        cond_fn, body_fn, (jnp.int32(0), jnp.int32(0), (skip, tmin, hit))
     )
 
     tmin_ref[0] = tmin
@@ -174,7 +191,7 @@ def _traverse_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_leaf", "eps", "tile", "interpret")
+    jax.jit, static_argnames=("max_leaf", "eps", "tile", "interpret", "jump_every")
 )
 def intersect_bvh_pallas(
     rays_planes,  # [6, N] f32
@@ -184,8 +201,9 @@ def intersect_bvh_pallas(
     *,
     max_leaf: int = 4,
     eps: float = 1e-4,
-    tile: int = 8192,
+    tile: int = 4096,
     interpret: bool = False,
+    jump_every: int = 8,
 ):
     """Stackless BVH traversal over ray tiles.
 
@@ -203,7 +221,8 @@ def intersect_bvh_pallas(
 
     rays4 = rays_planes.reshape(6, nb, 8, lanes)
     kernel = functools.partial(
-        _traverse_kernel, n_nodes=m, max_leaf=max_leaf, eps=eps
+        _traverse_kernel, n_nodes=m, max_leaf=max_leaf, eps=eps,
+        jump_every=jump_every,
     )
     tmin, hit = pl.pallas_call(
         kernel,

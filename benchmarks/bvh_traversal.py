@@ -22,11 +22,13 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--rays", type=int, default=1 << 20)
     p.add_argument("--subdiv", type=int, default=3, help="icosphere subdivisions")
-    # 8192 measured best-balanced on v5e across all four regimes (2048 is
-    # 2-4x slower: the per-node-step scalar walk amortizes over lanes).
-    p.add_argument("--tile", type=int, default=8192)
+    # 4096 measured best-balanced on v5e with fat leaves (max_leaf=64):
+    # smaller tiles shrink the per-tile node union, larger ones amortize
+    # the per-node-step scalar walk over lanes.
+    p.add_argument("--tile", type=int, default=4096)
     p.add_argument("--iters", type=int, default=5)
-    p.add_argument("--max-leaf", type=int, default=4)
+    p.add_argument("--max-leaf", type=int, default=64)
+    p.add_argument("--jump-every", type=int, default=8)
     args = p.parse_args(argv)
 
     import jax
@@ -82,7 +84,7 @@ def main(argv=None) -> int:
         def step(r):
             return pallas_bvh.intersect_bvh_pallas(
                 r, nodesf, nodesi, tris9, max_leaf=args.max_leaf,
-                tile=args.tile,
+                tile=args.tile, jump_every=args.jump_every,
             )
 
         out = step(rays)
