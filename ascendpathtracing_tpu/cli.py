@@ -46,8 +46,18 @@ def _parse_args(argv):
     r.add_argument("--out", default="output")
     r.add_argument("--nee", action="store_true",
                    help="pt mode: next-event estimation (explicit light sampling)")
-    r.add_argument("--aov", choices=["none", "depth"], default="none",
-                   help="also write an auxiliary output (depth.ppm)")
+    r.add_argument("--aov", choices=["none", "depth", "normal", "albedo", "gbuffer"],
+                   default="none",
+                   help="also write auxiliary outputs (depth/normal/albedo"
+                   ".ppm; gbuffer = all three)")
+    r.add_argument("--denoise", type=int, default=0, metavar="ITERS",
+                   help="a-trous wavelet denoise iterations (0 = off); "
+                   "uses G-buffer guides on sphere scenes")
+    r.add_argument("--tonemap", choices=["none", "reinhard", "aces"],
+                   default="none", help="tone-map + gamma-encode final.ppm")
+    r.add_argument("--exposure", type=float, default=1.0)
+    r.add_argument("--clamp", type=float, default=0.0, metavar="L",
+                   help="firefly clamp: bound per-sample luminance (0 = off)")
     r.add_argument("--check-finite", action="store_true",
                    help="fail if the render produced NaN/Inf")
     r.add_argument("--oracle", action="store_true", help="also run the NumPy oracle and report parity")
@@ -214,13 +224,74 @@ def cmd_render(args) -> int:
     # native (C++) fused decode+encode when available, Python otherwise
     img = io.write_render_ppm(colors, w, h, s, f"{args.out}/color.ppm")
 
-    if args.aov == "depth":
-        depth = np.asarray(megakernel.render_depth(rays, dev))
-        dmax = max(float(depth.max()), 1e-9)
-        dimg = io.decode_color(
-            np.repeat((depth / dmax)[:, None], 3, axis=1), w, h, s
-        )
-        io.write_ppm(dimg, f"{args.out}/depth.ppm")
+    # G-buffer (sphere scenes): AOV outputs and/or denoiser guides
+    want_gbuf = (
+        args.aov in ("normal", "albedo", "gbuffer") or args.denoise > 0
+    ) and mesh_scene is None
+    gbuf = megakernel.render_gbuffer(rays, dev) if want_gbuf else None
+    if args.aov != "none":
+        if args.aov in ("depth", "gbuffer"):
+            depth = np.asarray(
+                gbuf["depth"] if gbuf is not None
+                else megakernel.render_depth(rays, dev)
+            )
+            dmax = max(float(depth.max()), 1e-9)
+            dimg = io.decode_color(
+                np.repeat((depth / dmax)[:, None], 3, axis=1), w, h, s
+            )
+            io.write_ppm(dimg, f"{args.out}/depth.ppm")
+        if gbuf is not None and args.aov in ("normal", "gbuffer"):
+            nimg = io.decode_color(
+                np.asarray(gbuf["normal"]) * 0.5 + 0.5, w, h, s
+            )
+            io.write_ppm(nimg, f"{args.out}/normal.ppm")
+        if gbuf is not None and args.aov in ("albedo", "gbuffer"):
+            io.write_ppm(
+                io.decode_color(np.asarray(gbuf["albedo"]), w, h, s),
+                f"{args.out}/albedo.ppm",
+            )
+
+    # post pipeline: clamp -> decode HDR -> denoise -> tonemap -> final.ppm
+    post_active = args.denoise > 0 or args.tonemap != "none" or args.clamp > 0
+    if post_active:
+        from ascendpathtracing_tpu import post
+
+        colors_post = colors
+        if args.clamp > 0:
+            colors_post = np.asarray(
+                post.firefly_clamp(colors, max_radiance=args.clamp)
+            )
+        hdr = io.decode_color_hdr(colors_post, w, h, s).astype(np.float32)
+        if args.denoise > 0:
+            guides = {}
+            if gbuf is not None:
+                nrm = io.decode_color_hdr(np.asarray(gbuf["normal"]), w, h, s)
+                nrm /= np.maximum(
+                    np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-9
+                )
+                zplanes = np.repeat(np.asarray(gbuf["depth"])[:, None], 3, axis=1)
+                guides = {
+                    "normal": nrm.astype(np.float32),
+                    "depth": io.decode_color_hdr(zplanes, w, h, s)[..., 0]
+                    .astype(np.float32),
+                    "albedo": io.decode_color_hdr(
+                        np.asarray(gbuf["albedo"]), w, h, s
+                    ).astype(np.float32),
+                }
+            hdr = np.asarray(
+                post.atrous_denoise(hdr, iterations=args.denoise, **guides)
+            )
+        if args.tonemap == "aces":
+            final = post.to_u8(
+                post.gamma_encode(post.tonemap_aces(hdr, args.exposure))
+            )
+        elif args.tonemap == "reinhard":
+            final = post.to_u8(
+                post.gamma_encode(post.tonemap_reinhard(hdr, args.exposure))
+            )
+        else:
+            final = post.to_u8(np.clip(hdr, 0.0, 1.0))
+        io.write_ppm(final, f"{args.out}/final.ppm")
 
     n_rays = rays.shape[0]
     stats = {
@@ -235,6 +306,8 @@ def cmd_render(args) -> int:
         "mrays_per_s": round(n_rays * args.bounces / max(t_render, 1e-9) / 1e6, 3),
         "out": f"{args.out}/color.ppm",
     }
+    if post_active:
+        stats["final"] = f"{args.out}/final.ppm"
     if args.oracle and args.mode == "reference":
         exp = oracle.render_reference_numpy(rays, scene, bounces=args.bounces)
         img_o = io.decode_color(exp, w, h, s)

@@ -186,6 +186,45 @@ def render_depth_impl(rays, scene: dict, *, eps: float = 1e-4):
 render_depth = jax.jit(render_depth_impl, static_argnames=("eps",))
 
 
+def render_gbuffer_impl(rays, scene: dict, *, eps: float = 1e-4):
+    """First-hit G-buffer: depth, shading normal, albedo, hit id.
+
+    The geometry AOVs double as guides for the a-trous denoiser (post.py)
+    and as continuous observables for geometry/camera gradients (see
+    render_depth).  Returns a dict of per-ray planes: ``depth`` [N]
+    (0 on miss), ``normal`` [N, 3] (oriented against the ray; 0 on miss),
+    ``albedo`` [N, 3] (0 on miss), ``hit_id`` [N] i32 (-1 on miss).
+    """
+    o3, d3 = rays_to_soa(rays)
+    cx, cy, cz = _scene_planes(scene, "center")
+    ax, ay, az = _scene_planes(scene, "albedo")
+    tmin, hit, miss = default_hit_fn(o3, d3, scene, eps)
+    gid = jnp.where(miss, 0, hit)
+    hp = (o3[0] + d3[0] * tmin, o3[1] + d3[1] * tmin, o3[2] + d3[2] * tmin)
+    chit = (select_by_id(gid, cx), select_by_id(gid, cy), select_by_id(gid, cz))
+    nrm = shade.v3_normalize(shade.v3_sub(hp, chit))
+    # orient against the incoming ray (outward-facing for the viewer)
+    flip = jnp.where(shade.v3_dot(d3, nrm) < 0, 1.0, -1.0)
+    nrm = shade.v3_scale(nrm, flip)
+    live = ~miss
+    zero3 = (jnp.zeros_like(tmin),) * 3
+    nrm = shade.v3_where(live, nrm, zero3)
+    alb = shade.v3_where(
+        live,
+        (select_by_id(gid, ax), select_by_id(gid, ay), select_by_id(gid, az)),
+        zero3,
+    )
+    return {
+        "depth": jnp.where(miss, 0.0, tmin),
+        "normal": jnp.stack(nrm, axis=1),
+        "albedo": jnp.stack(alb, axis=1),
+        "hit_id": jnp.where(miss, -1, hit).astype(jnp.int32),
+    }
+
+
+render_gbuffer = jax.jit(render_gbuffer_impl, static_argnames=("eps",))
+
+
 # ------------------------------------------------------------------------
 # Full physically-based mode (north star)
 # ------------------------------------------------------------------------

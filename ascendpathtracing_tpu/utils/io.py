@@ -102,12 +102,13 @@ def read_color_bin(path: str) -> np.ndarray:
 
 
 # ---------------------------------------------------------------- decode ----
-def decode_color(
+def decode_color_hdr(
     colors: np.ndarray, width: int, height: int, samples: int
 ) -> np.ndarray:
-    """SoA colors -> uint8 [w, h, 3] image, replicating
-    data_visualization.py:20-58 (sub-pixel averaging + vertical flip),
-    vectorized.
+    """SoA colors -> float64 [w, h, 3] linear-radiance image (sub-pixel
+    averaging + vertical flip, NO clip/quantization) — the shared decode
+    core, also used to decode per-ray AOV planes (normals, albedo) into
+    guide images for post-processing.
 
     ``colors`` may be [N, 3] (row layout from :func:`read_color_bin`) or
     the raw [3, N] plane layout.
@@ -135,7 +136,17 @@ def decode_color(
     img = (acc[..., 0] + acc[..., 1] + acc[..., 2] + acc[..., 3]) / 4.0
     # (3, w, h) -> (w, h, 3) with vertical flip u = h-1-j
     # [data_visualization.py:22-27, 40]
-    img = img.transpose(1, 2, 0)[:, ::-1, :]
+    return np.ascontiguousarray(img.transpose(1, 2, 0)[:, ::-1, :])
+
+
+def decode_color(
+    colors: np.ndarray, width: int, height: int, samples: int
+) -> np.ndarray:
+    """SoA colors -> uint8 [w, h, 3] image, replicating
+    data_visualization.py:20-58 (sub-pixel averaging + vertical flip),
+    vectorized.
+    """
+    img = decode_color_hdr(colors, width, height, samples)
     img = np.clip(img, 0.0, 1.0) * 255.0  # data_visualization.py:54-56
     return img.astype(np.uint8)
 
