@@ -166,8 +166,13 @@ def _traverse_kernel(
                 tmin, hit = tri_test(first + k, valid, tmin, hit)
             return tmin, hit
 
+        # Nested cond so the full-tile any() reduce is only paid at leaf
+        # nodes — inner nodes (half of all visits) skip it entirely.
         tmin, hit = jax.lax.cond(
-            is_leaf & jnp.any(box_hit), do_tris, lambda a: a, (tmin, hit)
+            is_leaf,
+            lambda a: jax.lax.cond(jnp.any(box_hit), do_tris, lambda b: b, a),
+            lambda a: a,
+            (tmin, hit),
         )
         # Global skip-jump: the next node anyone needs is min(skip); for
         # coherent ray tiles this leaps over whole subtrees (the lockstep
