@@ -303,7 +303,12 @@ def cmd_render(args) -> int:
         "bounces": args.bounces,
         "gen_s": round(t_gen, 4),
         "render_s": round(t_render, 4),
-        "mrays_per_s": round(n_rays * args.bounces / max(t_render, 1e-9) / 1e6, 3),
+        # One definition everywhere (bench.py, BASELINE.md): Mrays/s counts
+        # PRIMARY rays, not ray-bounces.
+        "mrays_per_s": round(n_rays / max(t_render, 1e-9) / 1e6, 3),
+        "mray_bounces_per_s": round(
+            n_rays * args.bounces / max(t_render, 1e-9) / 1e6, 3
+        ),
         "out": f"{args.out}/color.ppm",
     }
     if post_active:
@@ -399,8 +404,7 @@ def cmd_selftest(args) -> int:
         img_p = np.asarray(
             pk.render_pt_pallas(
                 planes, width=w, height=h, spp4=spp4, materials=mats,
-                light_index=scene.light_index, bounces=4, rr_depth=3,
-                tile=1024,
+                bounces=4, rr_depth=3, tile=1024,
             )
         )
         rays4 = camera.generate_rays_numpy(w, h, spp4 // 4, seed=0).astype(
@@ -419,6 +423,30 @@ def cmd_selftest(args) -> int:
     else:
         print(json.dumps({"check": "pt_pallas_energy_vs_jit",
                           "skipped": "needs real TPU RNG"}))
+
+    # 5. checkify NaN/div guards over the jit renderer: in-graph float
+    #    checks must pass on a healthy render AND catch an injected NaN
+    #    (the analogue of the reference's CPU-debug allocator checks,
+    #    allocator.h:261-284).
+    from ascendpathtracing_tpu.utils import debug as dbg
+
+    checked = dbg.checkify_render(
+        lambda r: megakernel.render_reference_impl(r, dev, bounces=2)
+    )
+    try:
+        out = checked(jnp.asarray(rays))
+        clean_ok = bool(np.isfinite(np.asarray(out)).all())
+    except Exception:
+        clean_ok = False
+    bad_rays = np.asarray(rays).copy()
+    bad_rays[0, 3] = np.nan  # poison one direction component
+    try:
+        checked(jnp.asarray(bad_rays))
+        caught = False
+    except Exception:
+        caught = True
+    report("checkify_float_guards", clean_ok and caught,
+           clean_pass=clean_ok, nan_caught=caught)
 
     n_ok = sum(checks)
     print(json.dumps({"selftest": "PASS" if n_ok == len(checks) else "FAIL",

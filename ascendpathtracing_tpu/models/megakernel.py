@@ -170,6 +170,43 @@ def render_reference_impl(rays, scene: dict, *, bounces: int = 5, eps: float = 1
 render_reference = jax.jit(render_reference_impl, static_argnames=("bounces", "eps"))
 
 
+def render_reference_hits_impl(rays, scene: dict, *, bounces: int = 5, eps: float = 1e-4):
+    """Per-bounce hit decisions of the reference bounce loop.
+
+    Returns hit ids [bounces, N] i32 (-1 on miss, -2 once the ray has
+    terminated on the light and later decisions no longer affect color) —
+    the discrete decision trail that determines the whole render.  Two
+    runs whose trails agree on a ray produce colors that differ only by
+    elementwise f32 rounding (exactly equal when op order matches); a
+    differing trail is a "decision flip", the precise f32 chaos envelope
+    used by the golden and parity tests."""
+    o3, d3 = rays_to_soa(rays)
+    scene = dict(scene)
+    s = scene["r2"].shape[0]
+    light = scene["light_index"]
+    cx, cy, cz = _scene_planes(scene, "center")
+    alive = jnp.ones(o3[0].shape, bool)
+    trail = []
+    for _ in range(bounces):
+        tmin, hit, miss = default_hit_fn(o3, d3, scene, eps)
+        decision = jnp.where(miss, -1, hit).astype(jnp.int32)
+        trail.append(jnp.where(alive, decision, -2))
+        alive = alive & ~((hit == light) & ~miss)
+        gid = jnp.where(miss, s - 1, hit)
+        center_hit = (
+            select_by_id(gid, cx),
+            select_by_id(gid, cy),
+            select_by_id(gid, cz),
+        )
+        o3, d3 = shade.specular_bounce(o3, d3, tmin, center_hit)
+    return jnp.stack(trail, axis=0)
+
+
+render_reference_hits = jax.jit(
+    render_reference_hits_impl, static_argnames=("bounces", "eps")
+)
+
+
 def render_depth_impl(rays, scene: dict, *, eps: float = 1e-4):
     """First-hit depth AOV: t per ray (0 on miss).
 

@@ -520,7 +520,7 @@ def _render_pt_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "width", "height", "spp4", "materials", "light_index", "bounces",
+        "width", "height", "spp4", "materials", "bounces",
         "rr_depth", "eps", "tile", "interpret",
     ),
 )
@@ -531,7 +531,6 @@ def render_pt_pallas(
     height: int,
     spp4: int,
     materials: tuple,
-    light_index: int = -1,
     bounces: int = 8,
     rr_depth: int = 5,
     eps: float = 1e-4,

@@ -145,6 +145,62 @@ def render_reference_numpy(
     return color
 
 
+def render_reference_hits_numpy(
+    rays: np.ndarray,
+    scene: SphereScene,
+    *,
+    bounces: int = 5,
+    eps: float = 1e-4,
+    dtype=np.float32,
+):
+    """Per-bounce hit-decision trail of :func:`render_reference_numpy`.
+
+    Returns [bounces, N] i32: sphere id, -1 on miss, -2 once the ray has
+    terminated on the light (later decisions no longer affect color).
+    The render's color is EXACTLY determined by this trail — throughput
+    is the same ordered f32 product of albedo constants in every
+    implementation — so two renderers whose trails agree on a ray are
+    bitwise-equal on it.  This is the precise f32 chaos envelope
+    (decision-flip counter) used by the golden/parity gates."""
+    f32 = dtype
+    o = rays[:, 0:3].astype(f32)
+    d = rays[:, 3:6].astype(f32)
+    n = o.shape[0]
+    s = scene.n_spheres
+    light = scene.light_index
+    cen = scene.center.astype(f32)
+
+    alive = np.ones((n,), bool)
+    trail = np.empty((bounces, n), np.int32)
+    for k in range(bounces):
+        t = intersect_all_numpy(o, d, scene, eps, f32)
+        hit = np.argmin(t, axis=1)
+        tmin = t[np.arange(n), hit]
+        miss = tmin >= f32(MISS_T)
+        decision = np.where(miss, -1, hit).astype(np.int32)
+        trail[k] = np.where(alive, decision, -2)
+        gather_id = np.where(miss, s - 1, hit)
+
+        hx = o[:, 0] + d[:, 0] * tmin
+        hy = o[:, 1] + d[:, 1] * tmin
+        hz = o[:, 2] + d[:, 2] * tmin
+        cg = cen[gather_id]
+        nx, ny, nz = hx - cg[:, 0], hy - cg[:, 1], hz - cg[:, 2]
+        norm2 = nx * nx + ny * ny + nz * nz
+        with np.errstate(divide="ignore", over="ignore", invalid="ignore"):
+            inv = np.where(norm2 > 0, f32(1) / np.sqrt(norm2), f32(0))
+        nx, ny, nz = nx * inv, ny * inv, nz * inv
+        dn = d[:, 0] * nx + d[:, 1] * ny + d[:, 2] * nz
+        two_dn = f32(2) * dn
+        d = np.stack(
+            [d[:, 0] - two_dn * nx, d[:, 1] - two_dn * ny, d[:, 2] - two_dn * nz],
+            axis=1,
+        )
+        o = np.stack([hx, hy, hz], axis=1)
+        alive = alive & ~((hit == light) & ~miss)
+    return trail
+
+
 def render_first_hit_numpy(
     rays: np.ndarray, scene: SphereScene, *, eps: float = 1e-4
 ) -> np.ndarray:

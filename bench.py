@@ -83,8 +83,7 @@ def main(argv=None) -> int:
         def run(seed):
             return pallas_kernels.render_pt_pallas(
                 planes, width=w, height=h, spp4=spp4, materials=mats,
-                light_index=scene_obj.light_index, bounces=args.bounces,
-                rr_depth=5, tile=args.tile, seed=seed,
+                bounces=args.bounces, rr_depth=5, tile=args.tile, seed=seed,
             )
 
         out = run(0)

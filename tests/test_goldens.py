@@ -35,18 +35,46 @@ def test_oracle_matches_golden(w, h, s, b, name):
 
 
 def test_renderer_close_to_golden():
-    """The jit renderer vs the committed golden: bounded by the f32 chaos
-    envelope (bitwise gates live in test_reference_parity.py)."""
+    """The jit renderer vs the committed golden, gated by the PRECISE f32
+    chaos envelope: the per-bounce hit-decision trail of the jit renderer
+    vs the oracle (which produced the golden) marks exactly which rays
+    diverged by rounding-induced decision flips; color is a fixed-order
+    f32 product of albedo constants over the trail, so every pixel whose
+    4 subpixel rays are flip-free must match the golden EXACTLY."""
+    import jax.numpy as jnp
+
     from ascendpathtracing_tpu.models import megakernel
 
     w = h = 16
+    b = 5
     scene = scenes.cornell8()
     rays = camera.generate_rays_numpy(w, h, 1, seed=0).astype(np.float32)
-    dev = megakernel.scene_to_device(scene)
-    colors = np.asarray(megakernel.render_reference(rays, dev, bounces=5))
+    dev32 = megakernel.scene_to_device(scene, dtype=jnp.float32)
+
+    colors = np.asarray(megakernel.render_reference(rays, dev32, bounces=b))
     img = io.decode_color(colors, w, h, 1)
     golden = io.read_ppm(os.path.join(GOLDEN_DIR, "cornell8_16x16_b5.ppm"))
-    equal = (img == golden).all(axis=-1).mean()
-    assert equal > 0.3, f"only {equal:.1%} pixels equal"
-    mean_diff = np.abs(img.astype(float) - golden.astype(float)).mean()
-    assert mean_diff < 35.0, mean_diff
+
+    hits_jit = np.asarray(
+        megakernel.render_reference_hits(jnp.asarray(rays), dev32, bounces=b)
+    )
+    hits_ora = oracle.render_reference_hits_numpy(rays, scene, bounces=b)
+    flipped_ray = (hits_jit != hits_ora).any(axis=0)  # [N]
+    # Map ray flips to image pixels through decode_color itself (no
+    # hand-derived index math): a pixel is clean iff the decoded mean of
+    # the flip indicator is exactly 0 for its 4 subpixel rays.
+    indicator = np.repeat(flipped_ray[:, None].astype(np.float32), 3, axis=1)
+    clean = (io.decode_color(indicator, w, h, 1) == 0).all(axis=-1)
+
+    # ~40% of rays flip somewhere in 5 bounces (eps=1e-4 vs 1e-2 f32
+    # cancellation noise on the 1e5-radius walls — chaos by construction,
+    # see tests/test_reference_parity.py:8-29); the load-bearing gate is
+    # the EXACT match on the flip-free pixels below.
+    flip_frac = 1.0 - clean.mean()
+    assert clean.mean() >= 0.10, f"only {clean.mean():.1%} flip-free pixels"
+    neq = (img != golden).any(axis=-1)
+    offenders = neq & clean
+    assert not offenders.any(), (
+        f"{offenders.sum()} flip-free pixels differ from golden "
+        f"(flip fraction {flip_frac:.1%})"
+    )
