@@ -1,0 +1,576 @@
+"""Wide-node chunked BVH traversal with scalar-core compaction.
+
+The lockstep skip-cursor kernel (ops/pallas_bvh.py) pays ~0.25 us of
+scalar-core overhead per *node step* (branches + vector->scalar syncs),
+which forces fat leaves and makes the per-tile cost the union of visited
+nodes times that overhead.  This kernel restructures traversal the TPU
+way, as the reference restructured its hot loop around the vector unit
+(/root/reference/src/render.cpp:141-188 runs 8 sphere tests lanes-wide
+with no divergence):
+
+  Phase A  slab-test chunk AABBs as straight-line unrolled vector code
+           (no conds, no syncs), accumulating per-chunk hit flags in an
+           (8, 128) register block via iota-select (narrow VMEM column
+           stores are slow masked ops — avoided);
+  Sync     ONE sublane reduce turns the flags into per-chunk scalars —
+           the only vector->scalar sync per level;
+  Compact  the scalar core walks the flags and packs hit chunk ids into
+           an SMEM worklist (branchless: unconditional store +
+           conditional increment);
+  Phase B  a fori_loop over the worklist intersects each hit chunk's
+           (padded, fixed-size) triangle block, carrying running
+           (tmin, slot-id) minima — no gathers, reference-style carriers.
+
+A "chunk" is a wide BVH leaf: `tris_per_chunk` triangles from a median
+split, padded with degenerate (all-zero) triangles that can never hit
+(normal == 0 -> t = 0*inf = nan -> every IEEE compare False).  One level
+of C chunks covers small/medium scenes; a second superchunk level
+(`supers_per` consecutive chunks, exploiting the builder's DFS spatial
+order) gates groups for large ones, so phase A costs
+O(supers + hit_supers * supers_per) slab tests instead of O(C).
+
+Triangle residency auto-scales: SMEM (scalar loads are native) ->
+VMEM (field-minor table) -> HBM with per-chunk double-buffered DMA of
+the compacted worklist (the scene-side analogue of the reference's
+GM->UB tile streaming, /root/reference/src/render.cpp:52-59,82-101 —
+except the DMA schedule here is computed per tile at runtime).
+
+Intersection uses a precomputed-plane form instead of Moller-Trumbore:
+per triangle store (v0, n = e1 x e2, s1, s2, d0 = n.v0) — 13 floats —
+then  t = (d0 - n.o) / (n.d),  w = (o - v0) + t d,  u = s1.w,  v = s2.w:
+~41 VPU ops per (ray tile, triangle) vs ~57 for guarded Moller-Trumbore,
+measured ~1.3x kernel throughput.
+
+Returned hit ids are SLOT indices (chunk-ordered, padded); map to
+original faces with ``ChunkGrid.face_of_slot`` or permute per-face
+attribute arrays with :func:`permute_face_attrib` so slot ids index them
+directly (what models/mesh.py does).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MISS_T = 1e20
+TRI_F = 13  # floats per triangle row: v0 xyz, n xyz, s1 xyz, s2 xyz, d0
+
+
+# ------------------------------------------------------------------ builder --
+@dataclasses.dataclass
+class ChunkGrid:
+    """Flat chunked scene for :func:`intersect_chunks_pallas`.
+
+    cboxes:  [C, 6]  chunk AABBs (minx miny minz maxx maxy maxz)
+    sboxes:  [Cs, 6] superchunk AABBs over groups of `supers_per` chunks
+             (Cs == 0 disables the super level)
+    tris:    [C*T, TRI_F] precomputed-plane rows in chunk order, 0-padded
+    face_of_slot: [C*T] i32 original face index per slot (-1 for pads)
+    """
+
+    cboxes: np.ndarray
+    sboxes: np.ndarray
+    tris: np.ndarray
+    face_of_slot: np.ndarray
+    tris_per_chunk: int
+    supers_per: int
+
+    @property
+    def n_chunks(self) -> int:
+        return int(self.cboxes.shape[0])
+
+    @property
+    def n_supers(self) -> int:
+        return int(self.sboxes.shape[0])
+
+
+def triangle_rows(vertices: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """[F, TRI_F] precomputed-plane rows (float32, built in float64)."""
+    v = np.asarray(vertices, np.float64)
+    f = np.asarray(faces, np.int64)
+    tri = v[f]
+    v0 = tri[:, 0]
+    e1 = tri[:, 1] - tri[:, 0]
+    e2 = tri[:, 2] - tri[:, 0]
+    n = np.cross(e1, e2)
+    # barycentric axes: u = s1.(p - v0), v = s2.(p - v0) for p in-plane
+    e2xn = np.cross(e2, n)
+    e1xn = np.cross(e1, n)
+    den1 = np.einsum("ij,ij->i", e1, e2xn)
+    den2 = np.einsum("ij,ij->i", e2, e1xn)
+    safe1 = np.where(den1 == 0, 1.0, den1)[:, None]
+    safe2 = np.where(den2 == 0, 1.0, den2)[:, None]
+    s1 = np.where(den1[:, None] == 0, 0.0, e2xn / safe1)
+    s2 = np.where(den2[:, None] == 0, 0.0, e1xn / safe2)
+    d0 = np.einsum("ij,ij->i", n, v0)
+    return np.concatenate([v0, n, s1, s2, d0[:, None]], axis=1).astype(np.float32)
+
+
+def build_chunk_grid(
+    vertices,
+    faces,
+    *,
+    tris_per_chunk: int = 32,
+    supers_per: int = 0,
+) -> ChunkGrid:
+    """Median-split triangle partition into fixed-size chunks.
+
+    Recursive largest-centroid-extent median split (the same spatial
+    heuristic as the binned-SAH builder's fallback, accel/bvh.py) down to
+    `tris_per_chunk`; splits land on chunk-size multiples so chunks stay
+    full (measured better than SAH leaves here: SAH leaves average T/2
+    occupancy, doubling chunk count and slab/loop overhead).  Chunks come
+    out in DFS order, so consecutive chunks are spatial neighbours —
+    which is what makes the superchunk grouping (each `supers_per`
+    consecutive chunks) tight.
+    """
+    v = np.asarray(vertices, np.float64)
+    f = np.asarray(faces, np.int64)
+    tri = v[f]  # [F, 3, 3]
+    tbmin = tri.min(axis=1)
+    tbmax = tri.max(axis=1)
+    cent = (tbmin + tbmax) * 0.5
+    T = int(tris_per_chunk)
+    if supers_per and supers_per > 128:
+        raise ValueError("supers_per must be <= 128 (one flags register block)")
+
+    chunks: list[np.ndarray] = []
+
+    def rec(idx: np.ndarray) -> None:
+        if idx.size <= T:
+            chunks.append(idx)
+            return
+        ext = cent[idx].max(axis=0) - cent[idx].min(axis=0)
+        ax = int(np.argmax(ext))
+        order = np.argsort(cent[idx, ax], kind="stable")
+        half = (idx.size // 2 + T - 1) // T * T
+        half = min(half, idx.size - 1)
+        rec(idx[order[:half]])
+        rec(idx[order[half:]])
+
+    rec(np.arange(f.shape[0]))
+
+    rows_all = triangle_rows(v, f)
+    c = len(chunks)
+    c_pad = -(-c // supers_per) * supers_per if supers_per else c
+    cboxes = np.empty((c_pad, 6), np.float32)
+    tris = np.zeros((c_pad * T, TRI_F), np.float32)
+    face_of_slot = np.full((c_pad * T,), -1, np.int32)
+    for ci, idx in enumerate(chunks):
+        cboxes[ci, 0:3] = tbmin[idx].min(axis=0)
+        cboxes[ci, 3:6] = tbmax[idx].max(axis=0)
+        tris[ci * T : ci * T + idx.size] = rows_all[idx]
+        face_of_slot[ci * T : ci * T + idx.size] = idx.astype(np.int32)
+    for ci in range(c, c_pad):  # inverted boxes never pass the slab test
+        cboxes[ci, 0:3] = 1.0
+        cboxes[ci, 3:6] = -1.0
+
+    if supers_per:
+        cs = c_pad // supers_per
+        sboxes = np.empty((cs, 6), np.float32)
+        for si in range(cs):
+            grp = cboxes[si * supers_per : (si + 1) * supers_per]
+            real = grp[:, 0] <= grp[:, 3]
+            if real.any():
+                sboxes[si, 0:3] = grp[real, 0:3].min(axis=0)
+                sboxes[si, 3:6] = grp[real, 3:6].max(axis=0)
+            else:
+                sboxes[si, 0:3] = 1.0
+                sboxes[si, 3:6] = -1.0
+    else:
+        sboxes = np.zeros((0, 6), np.float32)
+
+    return ChunkGrid(
+        cboxes=cboxes,
+        sboxes=sboxes,
+        tris=tris,
+        face_of_slot=face_of_slot,
+        tris_per_chunk=T,
+        supers_per=supers_per,
+    )
+
+
+def permute_face_attrib(grid: ChunkGrid, attrib: np.ndarray, pad_value=0):
+    """Per-face attribute array [F, ...] -> slot-ordered [C*T, ...] so the
+    kernel's hit slot indexes it directly (pads get `pad_value`)."""
+    attrib = np.asarray(attrib)
+    out = np.full((grid.face_of_slot.shape[0],) + attrib.shape[1:], pad_value,
+                  attrib.dtype)
+    live = grid.face_of_slot >= 0
+    out[live] = attrib[grid.face_of_slot[live]]
+    return out
+
+
+def chunk_grid_to_device(grid: ChunkGrid):
+    """ChunkGrid -> device arrays (cboxes, sboxes, tris, face_of_slot)."""
+    return (
+        jnp.asarray(grid.cboxes),
+        jnp.asarray(grid.sboxes),
+        jnp.asarray(grid.tris),
+        jnp.asarray(grid.face_of_slot),
+    )
+
+
+# ------------------------------------------------------------------- kernel --
+def _slab(ox, oy, oz, ix, iy, iz, bminx, bminy, bminz, bmaxx, bmaxy, bmaxz):
+    t1x = (bminx - ox) * ix
+    t2x = (bmaxx - ox) * ix
+    t1y = (bminy - oy) * iy
+    t2y = (bmaxy - oy) * iy
+    t1z = (bminz - oz) * iz
+    t2z = (bmaxz - oz) * iz
+    tnear = jnp.maximum(
+        jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+        jnp.minimum(t1z, t2z),
+    )
+    tfar = jnp.minimum(
+        jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+        jnp.maximum(t1z, t2z),
+    )
+    return tfar >= jnp.maximum(tnear, 0.0)
+
+
+def _wbvh_kernel(
+    *refs,
+    n_chunks,
+    n_supers,
+    supers_per,
+    tris_per_chunk,
+    eps,
+    tris_mode,  # "smem" | "vmem" | "hbm"
+    boxes_flat,  # True: cboxes/sboxes are flat SMEM; False: [*, 6] VMEM
+):
+    """Refs (in order): cboxes, [sboxes], tris, rays, tmin_out, hit_out,
+    flags (VMEM scratch), clist (SMEM), [slist (SMEM)],
+    [tri_scratch, dma_sem] (hbm mode)."""
+    f32 = jnp.float32
+    T = tris_per_chunk
+    it = iter(refs)
+    cboxes_ref = next(it)
+    sboxes_ref = next(it) if n_supers else None
+    tris_ref = next(it)
+    rays_ref = next(it)
+    tmin_ref = next(it)
+    hit_ref = next(it)
+    flags_ref = next(it)
+    clist_ref = next(it)
+    slist_ref = next(it) if n_supers else None
+    if tris_mode == "hbm":
+        tscratch_ref = next(it)
+        dsem_ref = next(it)
+
+    if boxes_flat:
+        cbox = lambda c, k: cboxes_ref[c * 6 + k]
+        sbox = (lambda s, k: sboxes_ref[s * 6 + k]) if n_supers else None
+    else:
+        cbox = lambda c, k: cboxes_ref[c, k]
+        sbox = (lambda s, k: sboxes_ref[s, k]) if n_supers else None
+
+    ox = rays_ref[0, 0]
+    oy = rays_ref[1, 0]
+    oz = rays_ref[2, 0]
+    dx = rays_ref[3, 0]
+    dy = rays_ref[4, 0]
+    dz = rays_ref[5, 0]
+    shape = ox.shape
+
+    inv_dx = 1.0 / jnp.where(dx == 0, 1e-30, dx)
+    inv_dy = 1.0 / jnp.where(dy == 0, 1e-30, dy)
+    inv_dz = 1.0 / jnp.where(dz == 0, 1e-30, dz)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+
+    def slab_idx(box, i):
+        return _slab(
+            ox, oy, oz, inv_dx, inv_dy, inv_dz,
+            box(i, 0), box(i, 1), box(i, 2), box(i, 3), box(i, 4), box(i, 5),
+        )
+
+    # ---- phase A: box tests -> compacted chunk worklist ---------------
+    if not n_supers:
+        # single level: every chunk box, straight-line vector code
+        for g in range(0, n_chunks, 128):
+            acc = jnp.zeros((8, 128), f32)
+            for cl in range(min(128, n_chunks - g)):
+                m = jnp.max(
+                    slab_idx(cbox, g + cl).astype(f32), axis=1, keepdims=True
+                )
+                acc = jnp.where(lane == cl, m, acc)
+            flags_ref[:, g : g + 128] = acc
+        flags_ref[0:1, :] = jnp.max(flags_ref[:, :], axis=0, keepdims=True)
+
+        k = jnp.int32(0)
+        for c in range(n_chunks):
+            hit_c = flags_ref[0, c] > 0.0
+            clist_ref[k] = jnp.int32(c)
+            k = k + jnp.where(hit_c, 1, 0).astype(jnp.int32)
+    else:
+        # two-level: supers first (static unroll), then the chunks of
+        # each hit super (fori over the compacted super list; chunk box
+        # reads use traced indices — scalar loads take those fine)
+        for g in range(0, n_supers, 128):
+            acc = jnp.zeros((8, 128), f32)
+            for sl in range(min(128, n_supers - g)):
+                m = jnp.max(
+                    slab_idx(sbox, g + sl).astype(f32), axis=1, keepdims=True
+                )
+                acc = jnp.where(lane == sl, m, acc)
+            flags_ref[:, g : g + 128] = acc
+        flags_ref[0:1, :] = jnp.max(flags_ref[:, :], axis=0, keepdims=True)
+
+        ks = jnp.int32(0)
+        for s in range(n_supers):
+            hit_s = flags_ref[0, s] > 0.0
+            slist_ref[ks] = jnp.int32(s)
+            ks = ks + jnp.where(hit_s, 1, 0).astype(jnp.int32)
+
+        def super_body(i, k):
+            base_c = slist_ref[i] * supers_per
+            acc = jnp.zeros((8, 128), f32)
+            for cl in range(supers_per):
+                m = jnp.max(
+                    slab_idx(cbox, base_c + cl).astype(f32), axis=1, keepdims=True
+                )
+                acc = jnp.where(lane == cl, m, acc)
+            flags_ref[:, 0:128] = acc
+            flags_ref[0:1, 0:128] = jnp.max(
+                flags_ref[:, 0:128], axis=0, keepdims=True
+            )
+            for cl in range(supers_per):
+                hit_c = flags_ref[0, cl] > 0.0
+                clist_ref[k] = base_c + cl
+                k = k + jnp.where(hit_c, 1, 0).astype(jnp.int32)
+            return k
+
+        k = jax.lax.fori_loop(0, ks, super_body, jnp.int32(0))
+
+    # ---- phase B: precomputed-plane tri tests over listed chunks ------
+    def tri_test(trif, tidx, slot, tmin, hit):
+        # t = (d0 - n.o) / (n.d); w = (o - v0) + t d; u = s1.w; v = s2.w
+        # Unguarded reciprocal: degenerate/padding triangles have n == 0,
+        # so t = 0 * inf = nan and every IEEE compare below is False —
+        # they reject themselves with no explicit mask.
+        nx_ = trif(tidx, 3)
+        ny_ = trif(tidx, 4)
+        nz_ = trif(tidx, 5)
+        nd = nx_ * dx + ny_ * dy + nz_ * dz
+        no = nx_ * ox + ny_ * oy + nz_ * oz
+        t = (trif(tidx, 12) - no) / nd
+        wx = (ox - trif(tidx, 0)) + t * dx
+        wy = (oy - trif(tidx, 1)) + t * dy
+        wz = (oz - trif(tidx, 2)) + t * dz
+        u = trif(tidx, 6) * wx + trif(tidx, 7) * wy + trif(tidx, 8) * wz
+        v = trif(tidx, 9) * wx + trif(tidx, 10) * wy + trif(tidx, 11) * wz
+        ok = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > eps)
+        better = ok & (t < tmin)
+        tmin2 = jnp.where(better, t, tmin)
+        hit2 = jnp.where(better, jnp.full(shape, slot, jnp.int32), hit)
+        return tmin2, hit2
+
+    tmin = jnp.full(shape, MISS_T, f32)
+    hit = jnp.zeros(shape, jnp.int32)
+
+    if tris_mode == "hbm":
+        # per-chunk double-buffered DMA of the compacted worklist: fetch
+        # chunk i+1's row while testing chunk i.  HBM tris are packed ONE
+        # CHUNK PER (8, 128) TILE ([C, 8, 128]): Mosaic requires DMA
+        # slice minor dims be tile-aligned, and scalar reads from the
+        # landing scratch only lower with the dynamic index on a
+        # non-minor dim ((2, 8, 128)[buf, j, k] lowers; (2, 1024)[buf, j]
+        # does not — measured on v5e).
+        def get_dma(slot_buf, i):
+            c = clist_ref[i]
+            return pltpu.make_async_copy(
+                tris_ref.at[pl.ds(c, 1), :],
+                tscratch_ref.at[pl.ds(slot_buf, 1), :],
+                dsem_ref.at[slot_buf],
+            )
+
+        @pl.when(k > 0)
+        def _():
+            get_dma(jnp.int32(0), jnp.int32(0)).start()
+
+        def chunk_body(i, st):
+            tmin, hit = st
+            buf = jax.lax.rem(i, jnp.int32(2))
+
+            @pl.when(i + 1 < k)
+            def _():
+                get_dma(jax.lax.rem(i + 1, jnp.int32(2)), i + 1).start()
+
+            get_dma(buf, i).wait()
+            base = clist_ref[i] * T
+            # scratch reads: dynamic non-minor index (buf), static
+            # sublane/lane from the flat offset (j, kk python ints)
+            def trif_s(t_, kk):
+                off = t_ * TRI_F + kk
+                return tscratch_ref[buf, off // 128, off % 128]
+
+            for j in range(T):
+                tmin, hit = tri_test(trif_s, j, base + j, tmin, hit)
+            return tmin, hit
+
+        tmin, hit = jax.lax.fori_loop(0, k, chunk_body, (tmin, hit))
+    else:
+        if tris_mode == "smem":
+            trif = lambda t_, kk: tris_ref[t_ * TRI_F + kk]
+        else:
+            trif = lambda t_, kk: tris_ref[t_, kk]
+
+        def chunk_body(i, st):
+            tmin, hit = st
+            base = clist_ref[i] * T
+            for j in range(T):
+                tmin, hit = tri_test(trif, base + j, base + j, tmin, hit)
+            return tmin, hit
+
+        tmin, hit = jax.lax.fori_loop(0, k, chunk_body, (tmin, hit))
+
+    tmin_ref[0] = tmin
+    hit_ref[0] = hit
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "tris_per_chunk", "supers_per", "eps", "tile", "residency", "interpret"
+    ),
+)
+def intersect_chunks_pallas(
+    rays_planes,  # [6, N] f32
+    cboxes,  # [C, 6] f32
+    sboxes,  # [Cs, 6] f32 (Cs == 0: single level)
+    tris,  # [C*T, TRI_F] f32
+    *,
+    tris_per_chunk: int = 32,
+    supers_per: int = 0,
+    eps: float = 1e-4,
+    tile: int = 2048,
+    residency: str = "auto",  # auto | smem | vmem | hbm
+    interpret: bool = False,
+):
+    """Chunked traversal over ray tiles.
+
+    Returns (tmin [N] f32, hit [N] i32 — SLOT index into the chunk-
+    ordered triangle/attribute arrays, 0 on miss; miss = tmin >= MISS_T).
+    """
+    n = rays_planes.shape[1]
+    c = cboxes.shape[0]
+    cs = sboxes.shape[0]
+    ct = tris.shape[0]
+    if tile % 1024:
+        raise ValueError(f"{tile=} must be a multiple of 1024")
+    if n % tile:
+        raise ValueError(f"ray count {n} not divisible by {tile=}")
+    if cs and cs * supers_per != c:
+        raise ValueError("sboxes/supers_per inconsistent with chunk count")
+    nb = n // tile
+    lanes = tile // 8
+
+    box_bytes = (c + cs) * 6 * 4
+    tri_bytes = ct * TRI_F * 4
+    if residency == "auto":
+        if box_bytes + tri_bytes <= 512 * 1024:
+            residency = "smem"
+        elif tri_bytes <= 8 * 1024 * 1024:
+            residency = "vmem"
+        else:
+            residency = "hbm"
+    boxes_flat = box_bytes <= 512 * 1024
+
+    kernel = functools.partial(
+        _wbvh_kernel,
+        n_chunks=c,
+        n_supers=cs,
+        supers_per=supers_per,
+        tris_per_chunk=tris_per_chunk,
+        eps=eps,
+        tris_mode=residency,
+        boxes_flat=boxes_flat,
+    )
+
+    inputs = []
+    in_specs = []
+    if boxes_flat:
+        inputs.append(cboxes.reshape(c * 6))
+        in_specs.append(
+            pl.BlockSpec((c * 6,), lambda b: (0,), memory_space=pltpu.SMEM)
+        )
+        if cs:
+            inputs.append(sboxes.reshape(cs * 6))
+            in_specs.append(
+                pl.BlockSpec((cs * 6,), lambda b: (0,), memory_space=pltpu.SMEM)
+            )
+    else:
+        inputs.append(cboxes)
+        in_specs.append(
+            pl.BlockSpec((c, 6), lambda b: (0, 0), memory_space=pltpu.VMEM)
+        )
+        if cs:
+            inputs.append(sboxes)
+            in_specs.append(
+                pl.BlockSpec((cs, 6), lambda b: (0, 0), memory_space=pltpu.VMEM)
+            )
+    if residency == "smem":
+        inputs.append(tris.reshape(ct * TRI_F))
+        in_specs.append(
+            pl.BlockSpec((ct * TRI_F,), lambda b: (0,), memory_space=pltpu.SMEM)
+        )
+    elif residency == "vmem":
+        inputs.append(tris)
+        in_specs.append(
+            pl.BlockSpec((ct, TRI_F), lambda b: (0, 0), memory_space=pltpu.VMEM)
+        )
+    else:
+        # one chunk per (8, 128) tile: T*TRI_F floats padded to 1024
+        row = tris_per_chunk * TRI_F
+        if row > 1024:
+            raise ValueError(
+                f"hbm residency needs tris_per_chunk*{TRI_F} <= 1024, got {row}"
+            )
+        tris_rows = tris.reshape(c, row)
+        if row != 1024:
+            tris_rows = jnp.pad(tris_rows, ((0, 0), (0, 1024 - row)))
+        inputs.append(tris_rows.reshape(c, 8, 128))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+
+    rays4 = rays_planes.reshape(6, nb, 8, lanes)
+    inputs.append(rays4)
+    in_specs.append(
+        pl.BlockSpec((6, 1, 8, lanes), lambda b: (0, b, 0, 0),
+                     memory_space=pltpu.VMEM)
+    )
+
+    flags_lanes = -(-max(cs if cs else c, 128) // 128) * 128
+    scratch = [
+        pltpu.VMEM((8, flags_lanes), jnp.float32),
+        pltpu.SMEM((c,), jnp.int32),
+    ]
+    if cs:
+        scratch.append(pltpu.SMEM((cs,), jnp.int32))
+    if residency == "hbm":
+        scratch.append(pltpu.VMEM((2, 8, 128), jnp.float32))
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
+
+    tmin, hit = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, 8, lanes), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, lanes), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, 8, lanes), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 8, lanes), jnp.int32),
+        ),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*inputs)
+    return tmin.reshape(n), hit.reshape(n)
