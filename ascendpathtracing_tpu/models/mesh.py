@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -20,12 +21,23 @@ import numpy as np
 from ascendpathtracing_tpu.accel import bvh as bvh_mod
 from ascendpathtracing_tpu.accel import tri as tri_mod
 from ascendpathtracing_tpu.ops import pallas_bvh as pallas_bvh_mod
+from ascendpathtracing_tpu.ops import pallas_wbvh as wbvh_mod
 from ascendpathtracing_tpu.ops import sort as sort_mod
 from ascendpathtracing_tpu.models import megakernel
 from ascendpathtracing_tpu.models.megakernel import select_by_id
 from ascendpathtracing_tpu.ops import shade
 from ascendpathtracing_tpu.ops.intersect import MISS_T
 from ascendpathtracing_tpu.scenes import DIFF, REFR, SphereScene, get_scene
+
+
+class StaticConf(NamedTuple):
+    """Hashable non-traced traversal config carried in the device dict
+    (stripped before jit and passed as a static argument)."""
+
+    traversal: str  # chunks | lockstep | jnp | brute
+    max_leaf: int
+    tris_per_chunk: int
+    supers_per: int
 
 
 @dataclasses.dataclass
@@ -58,26 +70,77 @@ class MeshScene:
 
 def mesh_scene_to_device(
     ms: MeshScene, dtype=jnp.float32, use_bvh=True, max_leaf=None,
-    pallas_bvh_kernel=False,
+    pallas_bvh_kernel=False, pallas_kernel: str = "chunks",
+    tris_per_chunk: int = 32,
 ):
-    """MeshScene -> device pytree. Triangles are permuted into BVH leaf
-    order so leaves index contiguously; face attributes follow.
+    """MeshScene -> device pytree + static traversal config.
 
-    ``pallas_bvh_kernel=True`` additionally packs the BVH for the Pallas
-    stackless traversal kernel (ops/pallas_bvh.py) and makes the
-    renderers use it — forward-only (pallas_call has no autodiff), TPU or
-    interpret mode. The jnp while_loop traversal is gather-bound and
-    effectively unusable on real TPU hardware (measured ~1000x slower).
+    ``pallas_bvh_kernel=True`` selects a Pallas traversal kernel
+    (forward-only hit queries; TPU or interpret mode):
+
+    - ``pallas_kernel="chunks"`` (default): the wide-node chunk-grid
+      kernel (ops/pallas_wbvh.py) — 2-4x the lockstep kernel, scales to
+      HBM-streamed 100k+ tri scenes.  Triangles and face attributes are
+      laid out in SLOT order (chunk-major, padded) so the kernel's hit
+      slot indexes them directly with no extra indirection.
+    - ``pallas_kernel="lockstep"``: the skip-cursor binary-BVH kernel
+      (ops/pallas_bvh.py), kept for comparison; leaf-ordered layout.
+
+    Otherwise hits come from the jnp while_loop BVH traversal
+    (``use_bvh=True``; gather-bound, fine on CPU/f64 oracles) or brute
+    force (``use_bvh=False``).  The static (non-traced) config rides in
+    dev["static"]; wrappers strip it before jit.
     """
-    if max_leaf is None:
-        # The lockstep Pallas kernel is fastest with fat leaves (shallow
-        # tree, fewer per-node scalar steps; measured 63 Mrays/s at 64 vs
-        # 32 at 4 on v5e); the unrolled jnp traversal wants small ones.
-        max_leaf = 64 if pallas_bvh_kernel else 4
     np_dtype = np.float64 if dtype == jnp.float64 else np.float32
     sph = megakernel.scene_to_device(ms.spheres, dtype)
     v = np.asarray(ms.vertices, np_dtype)
     f = np.asarray(ms.faces)
+
+    if pallas_bvh_kernel and pallas_kernel == "chunks":
+        n_ch_est = -(-f.shape[0] // tris_per_chunk)
+        supers_per = 64 if n_ch_est >= 512 else 0
+        grid = wbvh_mod.build_chunk_grid(
+            v, f, tris_per_chunk=tris_per_chunk, supers_per=supers_per
+        )
+        cb, sb, t13, _fos = wbvh_mod.chunk_grid_to_device(grid)
+        live = grid.cboxes[:, 0] <= grid.cboxes[:, 3]
+        lo = jnp.asarray(grid.cboxes[live, 0:3].min(0))
+        hi = jnp.asarray(grid.cboxes[live, 3:6].max(0))
+        # slot-ordered geometry + attributes (pads: zeros / material 0)
+        perm = lambda a, pad=0: wbvh_mod.permute_face_attrib(grid, a, pad)
+        tri = v[f]
+        v0n = perm(tri[:, 0])
+        e1n = perm(tri[:, 1] - tri[:, 0])
+        e2n = perm(tri[:, 2] - tri[:, 0])
+        fn = np.cross(e1n, e2n)
+        fn /= np.maximum(np.linalg.norm(fn, axis=1, keepdims=True), 1e-30)
+        alb = perm(np.asarray(ms.face_albedo, np_dtype))
+        emi = perm(np.asarray(ms.face_emission, np_dtype))
+        mat = perm(np.asarray(ms.face_material, np.int32))
+        return {
+            "spheres": sph,
+            "v0": tuple(jnp.asarray(v0n[:, i], dtype) for i in range(3)),
+            "e1": tuple(jnp.asarray(e1n[:, i], dtype) for i in range(3)),
+            "e2": tuple(jnp.asarray(e2n[:, i], dtype) for i in range(3)),
+            "fnormal": tuple(jnp.asarray(fn[:, i], dtype) for i in range(3)),
+            "f_albedo": tuple(jnp.asarray(alb[:, i], dtype) for i in range(3)),
+            "f_emission": tuple(jnp.asarray(emi[:, i], dtype) for i in range(3)),
+            "f_material": jnp.asarray(mat, jnp.int32),
+            "bvh": None,
+            "pallas_bvh": None,
+            "wbvh": (cb, sb, t13),
+            "wbvh_bounds": (lo, hi),
+            "face_of_slot": jnp.asarray(grid.face_of_slot),
+            "static": StaticConf("chunks", 0, grid.tris_per_chunk,
+                                 grid.supers_per),
+            "max_leaf": 0,  # back-compat key, stripped before jit
+        }
+
+    if max_leaf is None:
+        # The lockstep Pallas kernel is fastest with fat leaves (shallow
+        # tree, fewer per-node scalar steps); the unrolled jnp traversal
+        # wants small ones.
+        max_leaf = 64 if pallas_bvh_kernel else 4
     if use_bvh:
         bvh = bvh_mod.build_bvh(v, f, max_leaf=max_leaf)
         order = bvh.tri_order
@@ -93,6 +156,8 @@ def mesh_scene_to_device(
     e2n = np.stack([np.asarray(c) for c in e2], 1)
     fn = np.cross(e1n, e2n)
     fn /= np.maximum(np.linalg.norm(fn, axis=1, keepdims=True), 1e-30)
+    traversal = "lockstep" if (use_bvh and pallas_bvh_kernel) else (
+        "jnp" if use_bvh else "brute")
     return {
         "spheres": sph,
         "v0": v0,
@@ -111,7 +176,7 @@ def mesh_scene_to_device(
             if (use_bvh and pallas_bvh_kernel)
             else None
         ),
-        # static (non-traced) config; stripped before jit by the wrappers
+        "static": StaticConf(traversal, max_leaf if use_bvh else 0, 0, 0),
         "max_leaf": max_leaf if use_bvh else 0,
     }
 
@@ -123,28 +188,31 @@ _SORT_MIN_N = 131072
 
 
 def _split_static(dev):
-    ml = dev["max_leaf"]
-    return {k: v for k, v in dev.items() if k != "max_leaf"}, ml
+    static = dev["static"]
+    return {k: v for k, v in dev.items() if k not in ("static", "max_leaf")}, static
 
 
-def _mesh_hit(o3, d3, dev, eps, max_leaf, sort=True):
-    """Nearest triangle hit via the Pallas traversal kernel, the jnp
-    while_loop traversal, or brute force (in that priority).
+def _mesh_hit(o3, d3, dev, eps, static: StaticConf, sort=True):
+    """Nearest triangle hit via the chunked Pallas kernel, the lockstep
+    Pallas kernel, the jnp while_loop traversal, or brute force.
 
-    sort=True reorders rays by a direction-octant + origin-Morton key
-    before the lockstep kernel (ops/sort.py) and scatters results back —
+    sort=True reorders rays by the 6-D direction+origin Morton key
+    (ops/sort.py) before a Pallas kernel and scatters results back —
     per-ray results are exactly unchanged (traversal is per-lane exact),
-    but tiles become coherent, which the O(union-of-visited-nodes) kernel
-    converts into measured 3-4x throughput on bounced rays."""
-    if dev.get("pallas_bvh") is not None:
-        nodesf, nodesi, tris9 = dev["pallas_bvh"]
+    but tiles become coherent, which the O(union-of-visited-work) kernels
+    convert into measured 2-4x throughput on bounced rays."""
+    interpret = jax.devices()[0].platform != "tpu"
+    if static.traversal in ("chunks", "lockstep"):
         n = o3[0].shape[0]
+        o3_orig, d3_orig = o3, d3  # caller order, for the recompute below
         ridx = None
         if sort and n >= _SORT_MIN_N:
-            # root node bbox == scene bounds for the quantization grid
-            lo = nodesf[0, 0:3]
-            hi = nodesf[0, 3:6]
-            keys = sort_mod.ray_sort_keys(o3, d3, lo, hi)
+            if static.traversal == "chunks":
+                lo, hi = dev["wbvh_bounds"]
+            else:
+                lo = dev["pallas_bvh"][0][0, 0:3]
+                hi = dev["pallas_bvh"][0][0, 3:6]
+            keys = sort_mod.ray_sort_keys_6d(o3, d3, lo, hi)
             # multi-operand sort carries the ray planes + original index
             # along with the key — 1-D gathers/scatters are serialized on
             # TPU (measured 16 ms for 65k rays vs ~2 ms for fused sort)
@@ -154,29 +222,64 @@ def _mesh_hit(o3, d3, dev, eps, max_leaf, sort=True):
             )
             o3 = (ox_, oy_, oz_)
             d3 = (dx_, dy_, dz_)
-        # 4096 balances vector-op width against per-tile node-union size
-        # (measured fastest on v5e with fat leaves; tiny inputs keep 1024
-        # to bound pad)
-        tile = 4096 if n >= 4096 else 1024
+        tile = 2048 if n >= 2048 else 1024
         n_pad = -(-n // tile) * tile
-        rp = jnp.stack([*o3, *d3], axis=0)
+        # the kernel only produces DETACHED decisions (pallas_call has no
+        # AD rule); bounce-updated ray positions carry tangents from the
+        # differentiable recompute below, so stop them at the kernel edge
+        rp = jax.lax.stop_gradient(jnp.stack([*o3, *d3], axis=0))
         if n_pad != n:
             rp = jnp.pad(rp, ((0, 0), (0, n_pad - n)))
-        tmin, hit = pallas_bvh_mod.intersect_bvh_pallas(
-            rp.astype(jnp.float32), nodesf, nodesi, tris9,
-            max_leaf=max_leaf, eps=eps, tile=tile, jump_every=8,
-            interpret=(jax.devices()[0].platform != "tpu"),
-        )
+        if static.traversal == "chunks":
+            cb, sb, t13 = dev["wbvh"]
+            tmin, hit = wbvh_mod.intersect_chunks_pallas(
+                rp.astype(jnp.float32), cb, sb, t13,
+                tris_per_chunk=static.tris_per_chunk,
+                supers_per=static.supers_per, eps=eps, tile=tile,
+                interpret=interpret,
+            )
+        else:
+            nodesf, nodesi, tris9 = dev["pallas_bvh"]
+            tmin, hit = pallas_bvh_mod.intersect_bvh_pallas(
+                rp.astype(jnp.float32), nodesf, nodesi, tris9,
+                max_leaf=static.max_leaf, eps=eps, tile=tile, jump_every=8,
+                interpret=interpret,
+            )
         tmin = tmin[:n].astype(o3[0].dtype)
         hit = hit[:n]
         if ridx is not None:
             # restore caller order with a second fused sort (by ridx)
             _, tmin, hit = jax.lax.sort((ridx, tmin, hit), num_keys=1)
-        return tmin, hit, tmin >= jnp.asarray(MISS_T, tmin.dtype)
-    if dev["bvh"] is not None:
+        miss = tmin >= jnp.asarray(MISS_T, tmin.dtype)
+        if static.traversal == "chunks":
+            # Detach-discrete, differentiate-continuous (SURVEY §7 phase
+            # 4 applied to meshes): the kernel's WINNER INDEX is the
+            # discrete decision (stopped); the reported t is recomputed
+            # from the winner's plane equation in jnp — the same formula
+            # the kernel uses, so forward values agree to rounding, while
+            # gradients flow to the slot v0/e1/e2 planes (and through
+            # them to traced vertices, diff/mesh.py).
+            idx = jax.lax.stop_gradient(hit)
+            smiss = jax.lax.stop_gradient(miss)
+            v0g = tuple(p[idx] for p in dev["v0"])
+            e1g = tuple(p[idx] for p in dev["e1"])
+            e2g = tuple(p[idx] for p in dev["e2"])
+            nx = e1g[1] * e2g[2] - e1g[2] * e2g[1]
+            ny = e1g[2] * e2g[0] - e1g[0] * e2g[2]
+            nz = e1g[0] * e2g[1] - e1g[1] * e2g[0]
+            d0 = nx * v0g[0] + ny * v0g[1] + nz * v0g[2]
+            no = nx * o3_orig[0] + ny * o3_orig[1] + nz * o3_orig[2]
+            nd = nx * d3_orig[0] + ny * d3_orig[1] + nz * d3_orig[2]
+            # double-where: missed lanes carry garbage slots whose nd can
+            # be 0 — guard the denominator so no nan reaches the grad
+            nd = jnp.where(smiss, jnp.ones_like(nd), nd)
+            t_re = (d0 - no) / nd
+            tmin = jnp.where(smiss, jnp.asarray(MISS_T, tmin.dtype), t_re)
+        return tmin, hit, miss
+    if static.traversal == "jnp":
         return bvh_mod.intersect_bvh(
             o3, d3, dev["bvh"], (dev["v0"], dev["e1"], dev["e2"]), eps,
-            max_leaf,
+            static.max_leaf,
         )
     ts = tri_mod.intersect_triangles_brute(
         o3, d3, dev["v0"], dev["e1"], dev["e2"], eps
@@ -186,12 +289,12 @@ def _mesh_hit(o3, d3, dev, eps, max_leaf, sort=True):
     return tmin, hit, tmin >= jnp.asarray(MISS_T, tmin.dtype)
 
 
-def first_hit_mesh_impl(rays, dev, *, eps=1e-4, max_leaf=4):
+def first_hit_mesh_impl(rays, dev, *, eps=1e-4, static=StaticConf("brute", 0, 0, 0)):
     """Debug/oracle render: first-hit t and kind (0=miss, 1=sphere,
     2=triangle). Used to validate BVH-in-renderer against brute force."""
     o3, d3 = megakernel.rays_to_soa(rays)
     st, sh, sm = megakernel.default_hit_fn(o3, d3, dev["spheres"], eps)
-    tt, th, tm = _mesh_hit(o3, d3, dev, eps, max_leaf)
+    tt, th, tm = _mesh_hit(o3, d3, dev, eps, static)
     tri_closer = tt < st
     kind = jnp.where(
         tri_closer, jnp.where(tm, 0, 2), jnp.where(sm, 0, 1)
@@ -202,7 +305,7 @@ def first_hit_mesh_impl(rays, dev, *, eps=1e-4, max_leaf=4):
 
 def render_pt_mesh_impl(
     key, rays, dev, *, bounces: int = 8, rr_depth: int = 5, eps: float = 1e-4,
-    max_leaf: int = 4,
+    static: StaticConf = StaticConf("brute", 0, 0, 0),
 ):
     """smallpt estimator over spheres + mesh. Same structure as
     megakernel.render_pt_impl with a two-way nearest-hit combine."""
@@ -233,7 +336,7 @@ def render_pt_mesh_impl(
         u = jax.random.uniform(k1, (3, n), dtype=dtype)
 
         st, shit, smiss = megakernel.default_hit_fn(o3, d3, sph, eps)
-        tt, thit, tmiss = _mesh_hit(o3, d3, dev, eps, max_leaf)
+        tt, thit, tmiss = _mesh_hit(o3, d3, dev, eps, static)
         use_tri = tt < st
         tmin = jnp.where(use_tri, tt, st)
         miss = smiss & tmiss
@@ -298,21 +401,21 @@ def render_pt_mesh_impl(
 
 _render_pt_mesh_jit = jax.jit(
     render_pt_mesh_impl,
-    static_argnames=("bounces", "rr_depth", "eps", "max_leaf"),
+    static_argnames=("bounces", "rr_depth", "eps", "static"),
 )
 _first_hit_mesh_jit = jax.jit(
-    first_hit_mesh_impl, static_argnames=("eps", "max_leaf")
+    first_hit_mesh_impl, static_argnames=("eps", "static")
 )
 
 
 def render_pt_mesh(key, rays, dev, **kw):
-    """Jitted combined-scene path trace; strips the static leaf-size
+    """Jitted combined-scene path trace; strips the static traversal
     config out of the device pytree."""
-    traced, max_leaf = _split_static(dev)
-    return _render_pt_mesh_jit(key, rays, traced, max_leaf=max_leaf, **kw)
+    traced, static = _split_static(dev)
+    return _render_pt_mesh_jit(key, rays, traced, static=static, **kw)
 
 
 def first_hit_mesh(rays, dev, **kw):
     """Jitted first-hit query (see first_hit_mesh_impl)."""
-    traced, max_leaf = _split_static(dev)
-    return _first_hit_mesh_jit(rays, traced, max_leaf=max_leaf, **kw)
+    traced, static = _split_static(dev)
+    return _first_hit_mesh_jit(rays, traced, static=static, **kw)

@@ -5,11 +5,21 @@ The reference's only observability is a per-tile progress printf
 
 - :func:`trace` — contextmanager around ``jax.profiler`` producing a
   TensorBoard/XProf trace directory.
+- :func:`device_fence` — a sync that provably waits for device work.
 - :func:`benchmark` — compile-excluded steady-state timing with
-  ``block_until_ready`` fencing.
+  value-fetch fencing (see below).
 - :func:`mrays` — the BASELINE throughput metric helper.
 - :func:`roofline` — quick arithmetic-intensity estimate for a render
   config (documented assumptions; used in docs/BASELINE notes).
+
+TIMING ON TUNNELED TPUS (axon): ``jax.block_until_ready`` is a NO-OP on
+the remote-dispatch axon runtime — a 60 ms render "completes" in 0.1 ms
+by that fence, and fetching a full output buffer instead adds the whole
+transfer (~20 s for 64 MB) to the measurement.  The only sound fence is
+fetching a tiny on-device REDUCTION of the output.  :func:`benchmark`
+therefore dispatches all ``iters`` steps asynchronously (they serialize
+on the one chip), fences once on ``float(sum(out))``, and subtracts the
+separately-measured scalar-fetch round-trip (~30 ms over the tunnel).
 """
 
 from __future__ import annotations
@@ -31,25 +41,67 @@ def trace(logdir: str):
         jax.profiler.stop_trace()
 
 
-def benchmark(fn, *args, iters: int = 10, warmup: int = 2, **kwargs):
-    """Steady-state timing. Returns dict with mean/median/min seconds."""
+def device_fence(out) -> float:
+    """Wait until `out` (array or pytree) is actually computed, by
+    fetching a scalar reduction of its first array leaf.  Returns the
+    fetched scalar (so the call cannot be optimized away)."""
     import jax
+    import jax.numpy as jnp
 
-    out = None
-    for _ in range(warmup):
-        out = fn(*args, **kwargs)
-    jax.block_until_ready(out)
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        out = fn(*args, **kwargs)
+    leaves = [x for x in jax.tree_util.tree_leaves(out)
+              if hasattr(x, "dtype") and hasattr(x, "sum")]
+    if not leaves:
         jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
+        return 0.0
+    x = leaves[0]
+    if x.dtype == bool:
+        x = x.astype(jnp.int32)
+    return float(x.sum())
+
+
+def fetch_rtt(iters: int = 5) -> float:
+    """Measured round-trip of one scalar fetch (the fencing overhead to
+    subtract from async-dispatch timings; ~30 ms on a tunneled chip,
+    ~0.1 ms locally)."""
+    import jax
+    import jax.numpy as jnp
+
+    one = jnp.ones((8,), jnp.float32)
+    f = jax.jit(lambda a: jnp.sum(a))
+    float(f(one))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        float(f(one))
+    return (time.perf_counter() - t0) / iters
+
+
+def benchmark(fn, *args, iters: int = 10, warmup: int = 2, **kwargs):
+    """Steady-state timing. Returns dict with mean/min-style seconds.
+
+    Dispatches ``iters`` calls back-to-back (they serialize on-device),
+    fences ONCE on a scalar reduction of the last output, and subtracts
+    the scalar-fetch round-trip — the only methodology that is correct
+    both locally and on remote-dispatch (axon) runtimes where
+    ``block_until_ready`` does not block.
+    """
+    out = None
+    for _ in range(max(warmup, 1)):
+        out = fn(*args, **kwargs)
+    device_fence(out)
+    rtt = fetch_rtt()
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args, **kwargs)
+    device_fence(out)
+    total = time.perf_counter() - t0
+    mean = max(total - rtt, 1e-9) / iters
     return {
-        "mean_s": statistics.fmean(times),
-        "median_s": statistics.median(times),
-        "min_s": min(times),
+        "mean_s": mean,
+        "median_s": mean,
+        "min_s": mean,
         "iters": iters,
+        "fence_rtt_s": rtt,
     }
 
 

@@ -20,6 +20,32 @@ import sys
 import time
 
 
+
+def _measure(run, iters, warmup):
+    """Compile-excluded steady-state step time.
+
+    ``jax.block_until_ready`` is a NO-OP on the remote-dispatch axon TPU
+    runtime (utils/profiling.py docstring) — fence by fetching a scalar
+    reduction of the last output, dispatch all iters back-to-back (they
+    serialize on the one chip), and subtract the scalar-fetch RTT.
+    """
+    import time as _time
+
+    from ascendpathtracing_tpu.utils import profiling
+
+    out = None
+    for i in range(max(warmup, 1)):
+        out = run(i)
+    profiling.device_fence(out)
+    rtt = profiling.fetch_rtt()
+    t0 = _time.perf_counter()
+    for i in range(iters):
+        out = run(1000 + i)
+    profiling.device_fence(out)
+    total = _time.perf_counter() - t0
+    return max(total - rtt, 1e-9) / iters, out
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     # Defaults define the BASELINE.json headline metric: fwd+bwd at 8
@@ -86,13 +112,7 @@ def main(argv=None) -> int:
                 bounces=args.bounces, rr_depth=5, tile=args.tile, seed=seed,
             )
 
-        out = run(0)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for i in range(args.iters):
-            out = run(i + 1)
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / args.iters
+        dt, out = _measure(run, args.iters, args.warmup)
         mrays = total / dt / 1e6
         print(json.dumps({
             "metric": f"Mrays/s/chip fwd (pallas-pt fused, {args.bounces}b RR, "
@@ -115,19 +135,13 @@ def main(argv=None) -> int:
         key = jax.random.PRNGKey(0)
         sc = megakernel.scene_to_device(scenes.get_scene("cornell8"))
 
-        def run(k):
+        def run(i):
             return wavefront.render_wavefront(
-                k, sc, width=w, height=h, spp4=spp4, pool=args.pool,
-                bounces=args.bounces, rr_depth=5,
+                jax.random.fold_in(key, i), sc, width=w, height=h, spp4=spp4,
+                pool=args.pool, bounces=args.bounces, rr_depth=5,
             )
 
-        out = run(key)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for i in range(args.iters):
-            out = run(jax.random.fold_in(key, i))
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / args.iters
+        dt, out = _measure(run, args.iters, args.warmup)
         mrays = total / dt / 1e6
         print(json.dumps({
             "metric": f"Mrays/s/chip fwd (wavefront, {args.bounces}b RR, "
@@ -167,14 +181,7 @@ def main(argv=None) -> int:
             step = jax.jit(
                 jax.value_and_grad(lambda p: jnp.sum(render(rays_planes, p)))
             )
-        for i in range(args.warmup):
-            out = step(planes)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for i in range(args.iters):
-            out = step(planes)
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / args.iters
+        dt, out = _measure(lambda i: step(planes), args.iters, args.warmup)
         mrays = n / dt / 1e6
         tag2 = "fwd" if args.fwd_only else "fwd+bwd"
         print(json.dumps({
@@ -211,16 +218,10 @@ def main(argv=None) -> int:
         step = jax.jit(jax.value_and_grad(lambda p, k: jnp.sum(fwd(p, k))))
         tag = "fwd+bwd"
 
-    # Warmup / compile.
-    for i in range(args.warmup):
-        out = step(params, jax.random.fold_in(key, i))
-    jax.block_until_ready(out)
-
-    t0 = time.perf_counter()
-    for i in range(args.iters):
-        out = step(params, jax.random.fold_in(key, 100 + i))
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / args.iters
+    dt, out = _measure(
+        lambda i: step(params, jax.random.fold_in(key, i)),
+        args.iters, args.warmup,
+    )
 
     mrays = n / dt / 1e6
     result = {

@@ -80,14 +80,19 @@ def main(argv=None) -> int:
         out = jax.lax.sort((keys, r[0], r[1], r[2], r[3], r[4], r[5]), num_keys=1)
         return jnp.stack(out[1:], 0)
 
+    from ascendpathtracing_tpu.utils import profiling
+
     def bench(step, rays, label, detail):
+        # fetch-fenced timing: block_until_ready is a no-op on tunneled
+        # TPUs (utils/profiling.py docstring)
         out = step(rays)
-        jax.block_until_ready(out)
+        profiling.device_fence(out)
+        rtt = profiling.fetch_rtt()
         t0 = time.perf_counter()
         for _ in range(args.iters):
             out = step(rays)
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / args.iters
+        profiling.device_fence(out)
+        dt = max(time.perf_counter() - t0 - rtt, 1e-9) / args.iters
         hit_frac = float(jnp.mean((out[0] < 1e19).astype(jnp.float32)))
         print(json.dumps({
             "metric": f"BVH traversal Mrays/s ({label})",

@@ -69,3 +69,36 @@ def test_mesh_emissive_lights_work():
         mesh_mod.render_pt_mesh(jax.random.PRNGKey(0), rays, dev, bounces=4)
     )
     assert img.max() > 0.5, "emissive mesh should light the box"
+
+
+def test_first_hit_chunks_kernel_matches_brute():
+    """The chunked Pallas traversal (interpret mode) inside the renderer
+    agrees with brute force: same kind, same winning face, t to f32
+    rounding of the plane-form recompute."""
+    ms = _scene(subdiv=2)
+    rays = camera.generate_rays_numpy(24, 24, 1, seed=0).astype(np.float32)
+    dev_c = mesh_mod.mesh_scene_to_device(ms, pallas_bvh_kernel=True)
+    dev_n = mesh_mod.mesh_scene_to_device(ms, dtype=jnp.float32, use_bvh=False)
+    t_c, k_c, h_c = mesh_mod.first_hit_mesh(jnp.asarray(rays), dev_c)
+    t_n, k_n, h_n = mesh_mod.first_hit_mesh(jnp.asarray(rays), dev_n)
+    np.testing.assert_array_equal(np.asarray(k_c), np.asarray(k_n))
+    tri_hit = np.asarray(k_n) == 2
+    assert tri_hit.sum() > 50
+    fos = np.asarray(dev_c["face_of_slot"])
+    np.testing.assert_array_equal(
+        fos[np.asarray(h_c)[tri_hit]], np.asarray(h_n)[tri_hit]
+    )
+    np.testing.assert_allclose(
+        np.asarray(t_c)[tri_hit], np.asarray(t_n)[tri_hit], rtol=1e-4
+    )
+
+
+def test_render_pt_mesh_chunks_smoke_and_determinism():
+    ms = _scene(subdiv=1)
+    rays = camera.generate_rays_numpy(16, 16, 1, seed=0).astype(np.float32)
+    dev = mesh_mod.mesh_scene_to_device(ms, pallas_bvh_kernel=True)
+    key = jax.random.PRNGKey(0)
+    a = np.asarray(mesh_mod.render_pt_mesh(key, rays, dev, bounces=4))
+    b = np.asarray(mesh_mod.render_pt_mesh(key, rays, dev, bounces=4))
+    np.testing.assert_array_equal(a, b)
+    assert np.isfinite(a).all() and a.min() >= 0 and a.max() > 0.1
