@@ -90,7 +90,10 @@ def build_traced_dev(params, dev0, faces, static: mesh_mod.StaticConf):
 
 
 def _strip(dev):
-    return mesh_mod._split_static(dev)
+    traced, static = mesh_mod._split_static(dev)
+    # gradients need the recompute/gather path regardless of how the
+    # device scene was built
+    return traced, static._replace(diff=True)
 
 
 def render_pt_mesh_params_impl(

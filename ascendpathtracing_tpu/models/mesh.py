@@ -38,6 +38,14 @@ class StaticConf(NamedTuple):
     max_leaf: int
     tris_per_chunk: int
     supers_per: int
+    # diff=True: differentiable mode — hit distance recomputed in jnp
+    # from the winner's plane equation and attributes gathered from the
+    # (traced) slot planes, so AD reaches vertices/attributes.
+    # diff=False: fast mode — the kernel itself emits the winner's
+    # shading attributes via in-kernel carriers (1-D gathers of 4M
+    # indices cost ~35 ms EACH on v5e; carriers make the whole render
+    # gather-free).
+    diff: bool = False
 
 
 @dataclasses.dataclass
@@ -71,7 +79,7 @@ class MeshScene:
 def mesh_scene_to_device(
     ms: MeshScene, dtype=jnp.float32, use_bvh=True, max_leaf=None,
     pallas_bvh_kernel=False, pallas_kernel: str = "chunks",
-    tris_per_chunk: int = 32,
+    tris_per_chunk: int = 32, diff: bool = False,
 ):
     """MeshScene -> device pytree + static traversal config.
 
@@ -102,7 +110,11 @@ def mesh_scene_to_device(
         grid = wbvh_mod.build_chunk_grid(
             v, f, tris_per_chunk=tris_per_chunk, supers_per=supers_per
         )
-        cb, sb, t13, _fos = wbvh_mod.chunk_grid_to_device(grid)
+        cb, sb, _t13, _fos = wbvh_mod.chunk_grid_to_device(grid)
+        t24 = jnp.asarray(wbvh_mod.attr_triangle_rows(
+            grid, ms.face_albedo, ms.face_emission, ms.face_material,
+            diff_code=DIFF, refr_code=REFR,
+        ))
         live = grid.cboxes[:, 0] <= grid.cboxes[:, 3]
         lo = jnp.asarray(grid.cboxes[live, 0:3].min(0))
         hi = jnp.asarray(grid.cboxes[live, 3:6].max(0))
@@ -128,11 +140,11 @@ def mesh_scene_to_device(
             "f_material": jnp.asarray(mat, jnp.int32),
             "bvh": None,
             "pallas_bvh": None,
-            "wbvh": (cb, sb, t13),
+            "wbvh": (cb, sb, t24),
             "wbvh_bounds": (lo, hi),
             "face_of_slot": jnp.asarray(grid.face_of_slot),
             "static": StaticConf("chunks", 0, grid.tris_per_chunk,
-                                 grid.supers_per),
+                                 grid.supers_per, diff),
             "max_leaf": 0,  # back-compat key, stripped before jit
         }
 
@@ -158,6 +170,7 @@ def mesh_scene_to_device(
     fn /= np.maximum(np.linalg.norm(fn, axis=1, keepdims=True), 1e-30)
     traversal = "lockstep" if (use_bvh and pallas_bvh_kernel) else (
         "jnp" if use_bvh else "brute")
+    del diff  # non-chunks paths are differentiable as-is
     return {
         "spheres": sph,
         "v0": v0,
@@ -176,7 +189,8 @@ def mesh_scene_to_device(
             if (use_bvh and pallas_bvh_kernel)
             else None
         ),
-        "static": StaticConf(traversal, max_leaf if use_bvh else 0, 0, 0),
+        "static": StaticConf(traversal, max_leaf if use_bvh else 0, 0, 0,
+                             traversal in ("jnp", "brute")),
         "max_leaf": max_leaf if use_bvh else 0,
     }
 
@@ -196,6 +210,11 @@ def _mesh_hit(o3, d3, dev, eps, static: StaticConf, sort=True):
     """Nearest triangle hit via the chunked Pallas kernel, the lockstep
     Pallas kernel, the jnp while_loop traversal, or brute force.
 
+    Returns (tmin, hit, miss, attrs) where attrs is None except in
+    chunks fast mode (static.diff False): an 11-tuple of winner planes
+    (nx ny nz ar ag ab er eg eb is_diff is_refr) carried out of the
+    kernel so the renderer never gathers.
+
     sort=True reorders rays by the 6-D direction+origin Morton key
     (ops/sort.py) before a Pallas kernel and scatters results back —
     per-ray results are exactly unchanged (traversal is per-lane exact),
@@ -205,6 +224,7 @@ def _mesh_hit(o3, d3, dev, eps, static: StaticConf, sort=True):
     if static.traversal in ("chunks", "lockstep"):
         n = o3[0].shape[0]
         o3_orig, d3_orig = o3, d3  # caller order, for the recompute below
+        with_attrs = static.traversal == "chunks" and not static.diff
         ridx = None
         if sort and n >= _SORT_MIN_N:
             if static.traversal == "chunks":
@@ -230,14 +250,19 @@ def _mesh_hit(o3, d3, dev, eps, static: StaticConf, sort=True):
         rp = jax.lax.stop_gradient(jnp.stack([*o3, *d3], axis=0))
         if n_pad != n:
             rp = jnp.pad(rp, ((0, 0), (0, n_pad - n)))
+        attrs = None
         if static.traversal == "chunks":
-            cb, sb, t13 = dev["wbvh"]
-            tmin, hit = wbvh_mod.intersect_chunks_pallas(
-                rp.astype(jnp.float32), cb, sb, t13,
+            cb, sb, t24 = dev["wbvh"]
+            out = wbvh_mod.intersect_chunks_pallas(
+                rp.astype(jnp.float32), cb, sb, t24,
                 tris_per_chunk=static.tris_per_chunk,
                 supers_per=static.supers_per, eps=eps, tile=tile,
-                interpret=interpret,
+                attrs=with_attrs, interpret=interpret,
             )
+            if with_attrs:
+                tmin, hit, attrs = out
+            else:
+                tmin, hit = out
         else:
             nodesf, nodesi, tris9 = dev["pallas_bvh"]
             tmin, hit = pallas_bvh_mod.intersect_bvh_pallas(
@@ -247,18 +272,26 @@ def _mesh_hit(o3, d3, dev, eps, static: StaticConf, sort=True):
             )
         tmin = tmin[:n].astype(o3[0].dtype)
         hit = hit[:n]
+        if attrs is not None:
+            attrs = tuple(a[:n].astype(o3[0].dtype) for a in attrs)
         if ridx is not None:
             # restore caller order with a second fused sort (by ridx)
-            _, tmin, hit = jax.lax.sort((ridx, tmin, hit), num_keys=1)
+            if attrs is not None:
+                out = jax.lax.sort((ridx, tmin, hit, *attrs), num_keys=1)
+                tmin, hit, attrs = out[1], out[2], out[3:]
+            else:
+                _, tmin, hit = jax.lax.sort((ridx, tmin, hit), num_keys=1)
         miss = tmin >= jnp.asarray(MISS_T, tmin.dtype)
-        if static.traversal == "chunks":
+        if static.traversal == "chunks" and static.diff:
             # Detach-discrete, differentiate-continuous (SURVEY §7 phase
             # 4 applied to meshes): the kernel's WINNER INDEX is the
             # discrete decision (stopped); the reported t is recomputed
             # from the winner's plane equation in jnp — the same formula
             # the kernel uses, so forward values agree to rounding, while
             # gradients flow to the slot v0/e1/e2 planes (and through
-            # them to traced vertices, diff/mesh.py).
+            # them to traced vertices, diff/mesh.py).  Gather-based, so
+            # reserved for the differentiable path (gathers cost ~35 ms
+            # per 4M rays on v5e).
             idx = jax.lax.stop_gradient(hit)
             smiss = jax.lax.stop_gradient(miss)
             v0g = tuple(p[idx] for p in dev["v0"])
@@ -275,18 +308,19 @@ def _mesh_hit(o3, d3, dev, eps, static: StaticConf, sort=True):
             nd = jnp.where(smiss, jnp.ones_like(nd), nd)
             t_re = (d0 - no) / nd
             tmin = jnp.where(smiss, jnp.asarray(MISS_T, tmin.dtype), t_re)
-        return tmin, hit, miss
+        return tmin, hit, miss, attrs
     if static.traversal == "jnp":
-        return bvh_mod.intersect_bvh(
+        tmin, hit, miss = bvh_mod.intersect_bvh(
             o3, d3, dev["bvh"], (dev["v0"], dev["e1"], dev["e2"]), eps,
             static.max_leaf,
         )
+        return tmin, hit, miss, None
     ts = tri_mod.intersect_triangles_brute(
         o3, d3, dev["v0"], dev["e1"], dev["e2"], eps
     )
     tmin = jnp.min(ts, axis=0)
     hit = jnp.argmin(ts, axis=0).astype(jnp.int32)
-    return tmin, hit, tmin >= jnp.asarray(MISS_T, tmin.dtype)
+    return tmin, hit, tmin >= jnp.asarray(MISS_T, tmin.dtype), None
 
 
 def first_hit_mesh_impl(rays, dev, *, eps=1e-4, static=StaticConf("brute", 0, 0, 0)):
@@ -294,7 +328,7 @@ def first_hit_mesh_impl(rays, dev, *, eps=1e-4, static=StaticConf("brute", 0, 0,
     2=triangle). Used to validate BVH-in-renderer against brute force."""
     o3, d3 = megakernel.rays_to_soa(rays)
     st, sh, sm = megakernel.default_hit_fn(o3, d3, dev["spheres"], eps)
-    tt, th, tm = _mesh_hit(o3, d3, dev, eps, static)
+    tt, th, tm, _ = _mesh_hit(o3, d3, dev, eps, static, sort=False)
     tri_closer = tt < st
     kind = jnp.where(
         tri_closer, jnp.where(tm, 0, 2), jnp.where(sm, 0, 1)
@@ -336,7 +370,11 @@ def render_pt_mesh_impl(
         u = jax.random.uniform(k1, (3, n), dtype=dtype)
 
         st, shit, smiss = megakernel.default_hit_fn(o3, d3, sph, eps)
-        tt, thit, tmiss = _mesh_hit(o3, d3, dev, eps, static)
+        # sort=False: with the attrs-carrier kernel a 4M-ray traversal is
+        # ~4-15 ms while ONE fused 14-operand sort is ~60 ms — per-bounce
+        # Morton sorting never pays anymore (it did for the lockstep
+        # kernel, whose unions were 5-10x costlier)
+        tt, thit, tmiss, tattrs = _mesh_hit(o3, d3, dev, eps, static, sort=False)
         use_tri = tt < st
         tmin = jnp.where(use_tri, tt, st)
         miss = smiss & tmiss
@@ -347,16 +385,28 @@ def render_pt_mesh_impl(
         # sphere normal
         s_chit = (select_by_id(shit, cx), select_by_id(shit, cy), select_by_id(shit, cz))
         s_nrm = shade.v3_normalize(shade.v3_sub(hp, s_chit))
-        # triangle normal (gathered; static geometry so fwd gather is fine)
-        t_nrm = gather_f(dev["fnormal"], thit)
+        if tattrs is not None:
+            # fast mode: the traversal kernel carried the winner's
+            # shading attributes out — no gathers anywhere
+            t_nrm = tattrs[0:3]
+            t_alb = tattrs[3:6]
+            t_emi = tattrs[6:9]
+            t_is_diff = tattrs[9] > 0.5
+            t_is_refr = tattrs[10] > 0.5
+        else:
+            # differentiable mode: gather from the (traced) slot planes
+            t_nrm = gather_f(dev["fnormal"], thit)
+            t_alb = gather_f(dev["f_albedo"], thit)
+            t_emi = gather_f(dev["f_emission"], thit)
+            t_is_diff = dev["f_material"][thit] == DIFF
+            t_is_refr = dev["f_material"][thit] == REFR
         nrm = shade.v3_where(use_tri, t_nrm, s_nrm)
         dn = shade.v3_dot(d3, nrm)
         into = dn < 0
         nl = shade.v3_scale(nrm, jnp.where(into, 1.0, -1.0))
 
         emit_s = (select_by_id(shit, sex), select_by_id(shit, sey), select_by_id(shit, sez))
-        emit_t = gather_f(dev["f_emission"], thit)
-        emit = shade.v3_where(use_tri, emit_t, emit_s)
+        emit = shade.v3_where(use_tri, t_emi, emit_s)
         rad = shade.v3_where(
             live,
             shade.v3_add(rad, (tput[0] * emit[0], tput[1] * emit[1], tput[2] * emit[2])),
@@ -364,11 +414,10 @@ def render_pt_mesh_impl(
         )
 
         alb_s = (select_by_id(shit, sax), select_by_id(shit, say), select_by_id(shit, saz))
-        alb_t = gather_f(dev["f_albedo"], thit)
-        alb = shade.v3_where(use_tri, alb_t, alb_s)
-        mat = jnp.where(use_tri, dev["f_material"][thit], select_by_id(shit, smat))
-        is_diff = mat == DIFF
-        is_refr = mat == REFR
+        alb = shade.v3_where(use_tri, t_alb, alb_s)
+        s_mat = select_by_id(shit, smat)
+        is_diff = jnp.where(use_tri, t_is_diff, s_mat == DIFF)
+        is_refr = jnp.where(use_tri, t_is_refr, s_mat == REFR)
 
         d_diff = shade.cosine_sample_hemisphere(nl, u[0], u[1])
         d_spec = shade.reflect(d3, nrm)

@@ -1,0 +1,516 @@
+"""Fully-fused mesh path-tracing Pallas kernel — the flagship renderer
+for combined sphere+mesh scenes (VERDICT r1 item 4: the reference's
+single-fused-kernel shape, /root/reference/src/render.cpp:104-207,
+applied to the BVH world).
+
+camera generation + PRNG + sphere intersection + chunked-BVH mesh
+traversal + shading + Russian roulette all run in ONE kernel per
+(pixel-tile, sample-layer) grid cell; HBM traffic is exactly the
+per-pixel output.  The XLA-loop mesh renderer (models/mesh.py) pays
+per-bounce sorts, gathers and kernel-launch round trips for the same
+estimator; here the only per-bounce mesh cost is the chunk-grid walk
+(ops/pallas_wbvh.py phases A/B) against rays already in registers.
+
+Everything the shading needs from the winning primitive rides in
+RUNNING CARRIERS updated inside the triangle/sphere test (albedo,
+emission, normal, material one-hots) — the same no-gather idiom as the
+sphere kernel (ops/pallas_kernels.py docstring), extended with a
+`w_tri` flag that selects triangle normals over sphere normals.
+
+Triangle rows are TRI_PT_F = 27 floats: the 13 intersection floats of
+ops/pallas_wbvh.py plus unit normal (3), albedo (3), emission (3),
+and (is_diff, is_refr) material one-hots (scalar-bool `where` is not
+lowerable, so materials ride as 0/1 floats).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ascendpathtracing_tpu.ops import pallas_wbvh as wbvh
+from ascendpathtracing_tpu.scenes import DIFF, REFR
+
+MISS_T = 1e20
+TRI_PT_F = 27
+
+
+def pack_mesh_for_pt(grid: wbvh.ChunkGrid, ms) -> np.ndarray:
+    """ChunkGrid + MeshScene -> [C*T, TRI_PT_F] slot-ordered rows."""
+    rows = np.zeros((grid.tris.shape[0], TRI_PT_F), np.float32)
+    rows[:, :13] = grid.tris
+    n = grid.tris[:, 3:6].astype(np.float64)
+    nn = np.linalg.norm(n, axis=1, keepdims=True)
+    rows[:, 13:16] = np.where(nn > 0, n / np.maximum(nn, 1e-300), 0.0)
+    rows[:, 16:19] = wbvh.permute_face_attrib(
+        grid, np.asarray(ms.face_albedo, np.float64)
+    )
+    rows[:, 19:22] = wbvh.permute_face_attrib(
+        grid, np.asarray(ms.face_emission, np.float64)
+    )
+    mat = wbvh.permute_face_attrib(grid, np.asarray(ms.face_material), pad_value=-1)
+    rows[:, 22] = (mat == DIFF).astype(np.float32)
+    rows[:, 23] = (mat == REFR).astype(np.float32)
+    return rows
+
+
+def _mesh_pt_kernel(
+    seed_ref,
+    scene_ref,   # [10, S] sphere planes, VMEM
+    cboxes_ref,  # flat [C*6] SMEM
+    tris_ref,    # flat [C*T*TRI_PT_F] SMEM or [C*T, TRI_PT_F] VMEM
+    out_ref,
+    u_scratch,
+    flags_ref,   # VMEM (8, C_pad128)
+    clist_ref,   # SMEM (C,)
+    *,
+    width, height, spp4, tile, materials, bounces, rr_depth, eps,
+    cam_consts, n_chunks, tris_per_chunk, flat_tris,
+):
+    f32 = jnp.float32
+    T = tris_per_chunk
+    b = pl.program_id(0)
+    a = pl.program_id(1)
+    n_layers = pl.num_programs(1)
+    pltpu.prng_seed(seed_ref[0] + b * n_layers + a)
+    lanes = tile // 8
+
+    if flat_tris:
+        trif = lambda t_, k: tris_ref[t_ * TRI_PT_F + k]
+    else:
+        trif = lambda t_, k: tris_ref[t_, k]
+    cbox = lambda c, k: cboxes_ref[c * 6 + k]
+
+    def uniforms(n_streams):
+        bits = pltpu.bitcast(
+            pltpu.prng_random_bits((n_streams, 8, lanes)), jnp.uint32
+        )
+        i32 = pltpu.bitcast(bits >> 8, jnp.int32)
+        return i32.astype(f32) * f32(1.0 / (1 << 24))
+
+    (px, py, pz, dx0, dy0, dz0, cxx, cyx, cyy, cyz, push) = cam_consts
+
+    s = spp4 // 4
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), 0)
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), 1)
+    pix = b * tile + sub * lanes + lane
+    i_idx = pix // height
+    j_idx = pix % height
+    sy = a // (2 * s)
+    sx = (a // s) % 2
+
+    u0 = uniforms(2)
+    r1 = 2.0 * u0[0]
+    r2 = 2.0 * u0[1]
+    jx = jnp.where(r1 < 1, jnp.sqrt(r1) - 1, 1 - jnp.sqrt(jnp.maximum(2 - r1, 0.0)))
+    jy = jnp.where(r2 < 1, jnp.sqrt(r2) - 1, 1 - jnp.sqrt(jnp.maximum(2 - r2, 0.0)))
+
+    su = ((sx.astype(f32) + 0.5 + jx) / 2.0 + i_idx.astype(f32)) / width - 0.5
+    sv = ((sy.astype(f32) + 0.5 + jy) / 2.0 + j_idx.astype(f32)) / height - 0.5
+    ddx = su * cxx + sv * cyx + dx0
+    ddy = sv * cyy + dy0
+    ddz = sv * cyz + dz0
+    ox = px + ddx * push
+    oy = py + ddy * push
+    oz = pz + ddz * push
+    inv = jax.lax.rsqrt(ddx * ddx + ddy * ddy + ddz * ddz)
+    dx, dy, dz = ddx * inv, ddy * inv, ddz * inv
+
+    shape = dx.shape
+    tr = jnp.ones(shape, f32)
+    tg = jnp.ones(shape, f32)
+    tb = jnp.ones(shape, f32)
+    lr = jnp.zeros(shape, f32)
+    lg = jnp.zeros(shape, f32)
+    lb = jnp.zeros(shape, f32)
+    alive_f = jnp.ones(shape, f32)
+
+    n_spheres = len(materials)
+    sph = lambda plane, si: scene_ref[plane, si]
+
+    def bounce(state, with_rr, u):
+        ox, oy, oz, dx, dy, dz, tr, tg, tb, lr, lg, lb, alive_f = state
+        alive = alive_f > 0.5
+
+        # ---- spheres: running min with shading carriers ---------------
+        tmin = jnp.full(shape, MISS_T, f32)
+        w_cx = jnp.zeros(shape, f32)
+        w_cy = jnp.zeros(shape, f32)
+        w_cz = jnp.zeros(shape, f32)
+        w_ar = jnp.zeros(shape, f32)
+        w_ag = jnp.zeros(shape, f32)
+        w_ab = jnp.zeros(shape, f32)
+        w_er = jnp.zeros(shape, f32)
+        w_eg = jnp.zeros(shape, f32)
+        w_eb = jnp.zeros(shape, f32)
+        w_diff = jnp.zeros(shape, jnp.bool_)
+        w_refr = jnp.zeros(shape, jnp.bool_)
+        w_trif = jnp.zeros(shape, f32)   # 1.0 when the winner is a triangle
+        w_nx = jnp.zeros(shape, f32)     # triangle unit normal carriers
+        w_ny = jnp.zeros(shape, f32)
+        w_nz = jnp.zeros(shape, f32)
+
+        for si in range(n_spheres):
+            r2s = sph(0, si)
+            cx = sph(1, si)
+            cy = sph(2, si)
+            cz = sph(3, si)
+            ocx = cx - ox
+            ocy = cy - oy
+            ocz = cz - oz
+            bq = ocx * dx + ocy * dy + ocz * dz
+            c = ocx * ocx + ocy * ocy + ocz * ocz - r2s
+            det = bq * bq - c
+            valid = det >= 0
+            sq = jnp.sqrt(jnp.where(valid, det, 0.0))
+            t0 = bq - sq
+            t1 = bq + sq
+            t = jnp.where(
+                valid & (t0 > eps), t0, jnp.where(valid & (t1 > eps), t1, MISS_T)
+            )
+            better = t < tmin
+            tmin = jnp.where(better, t, tmin)
+            w_cx = jnp.where(better, cx, w_cx)
+            w_cy = jnp.where(better, cy, w_cy)
+            w_cz = jnp.where(better, cz, w_cz)
+            w_ar = jnp.where(better, sph(7, si), w_ar)
+            w_ag = jnp.where(better, sph(8, si), w_ag)
+            w_ab = jnp.where(better, sph(9, si), w_ab)
+            w_er = jnp.where(better, sph(4, si), w_er)
+            w_eg = jnp.where(better, sph(5, si), w_eg)
+            w_eb = jnp.where(better, sph(6, si), w_eb)
+            if materials[si] == 0:  # DIFF
+                w_diff = w_diff | better
+            else:
+                w_diff = w_diff & jnp.logical_not(better)
+            if materials[si] == 2:  # REFR
+                w_refr = w_refr | better
+            else:
+                w_refr = w_refr & jnp.logical_not(better)
+            # spheres run before triangles, so w_trif stays 0 here
+
+        # ---- mesh: chunk-grid walk (ops/pallas_wbvh.py phases) --------
+        inv_dx = 1.0 / jnp.where(dx == 0, 1e-30, dx)
+        inv_dy = 1.0 / jnp.where(dy == 0, 1e-30, dy)
+        inv_dz = 1.0 / jnp.where(dz == 0, 1e-30, dz)
+        for g in range(0, n_chunks, 128):
+            acc = jnp.zeros((8, 128), f32)
+            for cl in range(min(128, n_chunks - g)):
+                hitbox = wbvh._slab_tmin(
+                    ox, oy, oz, inv_dx, inv_dy, inv_dz,
+                    cbox(g + cl, 0), cbox(g + cl, 1), cbox(g + cl, 2),
+                    cbox(g + cl, 3), cbox(g + cl, 4), cbox(g + cl, 5),
+                    # unlike the standalone kernel, a real tmin exists
+                    # here BEFORE the mesh walk (the spheres ran first):
+                    # chunks entirely behind the sphere/wall hit are
+                    # never listed
+                    tmin,
+                )
+                m = jnp.max(hitbox.astype(f32), axis=1, keepdims=True)
+                acc = jnp.where(lane128 == cl, m, acc)
+            flags_ref[:, g : g + 128] = acc
+        flags_ref[0:1, :] = jnp.max(flags_ref[:, :], axis=0, keepdims=True)
+
+        k = jnp.int32(0)
+        for c in range(n_chunks):
+            hit_c = flags_ref[0, c] > 0.0
+            clist_ref[k] = jnp.int32(c)
+            k = k + jnp.where(hit_c, 1, 0).astype(jnp.int32)
+
+        def tri_test(tidx, carry):
+            # material flags ride as 0/1 FLOATS in this carry: i1 vectors
+            # in a fori_loop carry fail Mosaic legalization (LESSONS #11)
+            (tmin, w_ar, w_ag, w_ab, w_er, w_eg, w_eb, w_diff_f, w_refr_f,
+             w_trif, w_nx, w_ny, w_nz) = carry
+            nx_ = trif(tidx, 3)
+            ny_ = trif(tidx, 4)
+            nz_ = trif(tidx, 5)
+            nd = nx_ * dx + ny_ * dy + nz_ * dz
+            no = nx_ * ox + ny_ * oy + nz_ * oz
+            t = (trif(tidx, 12) - no) / nd
+            wx = (ox - trif(tidx, 0)) + t * dx
+            wy = (oy - trif(tidx, 1)) + t * dy
+            wz = (oz - trif(tidx, 2)) + t * dz
+            uu = trif(tidx, 6) * wx + trif(tidx, 7) * wy + trif(tidx, 8) * wz
+            vv = trif(tidx, 9) * wx + trif(tidx, 10) * wy + trif(tidx, 11) * wz
+            ok = (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0) & (t > eps)
+            better = ok & (t < tmin)
+            tmin = jnp.where(better, t, tmin)
+            w_ar = jnp.where(better, trif(tidx, 16), w_ar)
+            w_ag = jnp.where(better, trif(tidx, 17), w_ag)
+            w_ab = jnp.where(better, trif(tidx, 18), w_ab)
+            w_er = jnp.where(better, trif(tidx, 19), w_er)
+            w_eg = jnp.where(better, trif(tidx, 20), w_eg)
+            w_eb = jnp.where(better, trif(tidx, 21), w_eb)
+            w_diff_f = jnp.where(better, trif(tidx, 22), w_diff_f)
+            w_refr_f = jnp.where(better, trif(tidx, 23), w_refr_f)
+            w_trif = jnp.where(better, f32(1.0), w_trif)
+            w_nx = jnp.where(better, trif(tidx, 13), w_nx)
+            w_ny = jnp.where(better, trif(tidx, 14), w_ny)
+            w_nz = jnp.where(better, trif(tidx, 15), w_nz)
+            return (tmin, w_ar, w_ag, w_ab, w_er, w_eg, w_eb, w_diff_f,
+                    w_refr_f, w_trif, w_nx, w_ny, w_nz)
+
+        def chunk_body(i, carry):
+            base = clist_ref[i] * T
+            for j in range(T):
+                carry = tri_test(base + j, carry)
+            return carry
+
+        carry = (tmin, w_ar, w_ag, w_ab, w_er, w_eg, w_eb,
+                 jnp.where(w_diff, f32(1.0), f32(0.0)),
+                 jnp.where(w_refr, f32(1.0), f32(0.0)),
+                 w_trif, w_nx, w_ny, w_nz)
+        carry = jax.lax.fori_loop(0, k, chunk_body, carry)
+        (tmin, w_ar, w_ag, w_ab, w_er, w_eg, w_eb, w_diff_f, w_refr_f,
+         w_trif, w_nx, w_ny, w_nz) = carry
+        w_diff = w_diff_f > 0.5
+        w_refr = w_refr_f > 0.5
+
+        miss = tmin >= MISS_T
+        live = alive & jnp.logical_not(miss)
+
+        hx = ox + dx * tmin
+        hy = oy + dy * tmin
+        hz = oz + dz * tmin
+        # sphere normal from the center carriers; triangle normal from
+        # the normal carriers, selected by w_trif
+        snx = hx - w_cx
+        sny = hy - w_cy
+        snz = hz - w_cz
+        n2 = snx * snx + sny * sny + snz * snz
+        ninv = jnp.where(n2 > 0, jax.lax.rsqrt(n2), 0.0)
+        is_tri = w_trif > 0.5
+        nx = jnp.where(is_tri, w_nx, snx * ninv)
+        ny = jnp.where(is_tri, w_ny, sny * ninv)
+        nz = jnp.where(is_tri, w_nz, snz * ninv)
+        dn = dx * nx + dy * ny + dz * nz
+        into = dn < 0
+        sgn = jnp.where(into, 1.0, -1.0)
+        nlx, nly, nlz = nx * sgn, ny * sgn, nz * sgn
+
+        lr = jnp.where(live, lr + tr * w_er, lr)
+        lg = jnp.where(live, lg + tg * w_eg, lg)
+        lb = jnp.where(live, lb + tb * w_eb, lb)
+
+        # ---- diffuse: cosine hemisphere sample -----------------------
+        phi = (2.0 * 3.14159265358979) * u[0]
+        r2u = u[1]
+        r2sq = jnp.sqrt(r2u)
+        flip = jnp.abs(nlx) > 0.1
+        axx = jnp.where(flip, 0.0, 1.0)
+        axy = jnp.where(flip, 1.0, 0.0)
+        ux_ = axy * nlz
+        uy_ = -axx * nlz
+        uz_ = axx * nly - axy * nlx
+        un = jax.lax.rsqrt(jnp.maximum(ux_ * ux_ + uy_ * uy_ + uz_ * uz_, 1e-20))
+        ux_, uy_, uz_ = ux_ * un, uy_ * un, uz_ * un
+        vx_ = nly * uz_ - nlz * uy_
+        vy_ = nlz * ux_ - nlx * uz_
+        vz_ = nlx * uy_ - nly * ux_
+        cw = jnp.sqrt(jnp.maximum(1.0 - r2u, 0.0))
+        cphi = jnp.cos(phi) * r2sq
+        sphi = jnp.sin(phi) * r2sq
+        ddfx = ux_ * cphi + vx_ * sphi + nlx * cw
+        ddfy = uy_ * cphi + vy_ * sphi + nly * cw
+        ddfz = uz_ * cphi + vz_ * sphi + nlz * cw
+
+        # ---- specular reflect ----------------------------------------
+        td = 2.0 * dn
+        dsx, dsy, dsz = dx - td * nx, dy - td * ny, dz - td * nz
+
+        # ---- refraction (Schlick) ------------------------------------
+        ior = 1.5
+        nnt = jnp.where(into, 1.0 / ior, ior)
+        ddn = dx * nlx + dy * nly + dz * nlz
+        cos2t = 1.0 - nnt * nnt * (1.0 - ddn * ddn)
+        tir = cos2t < 0
+        sqc = jnp.sqrt(jnp.maximum(cos2t, 0.0))
+        coef = sgn * (ddn * nnt + sqc)
+        tdx = dx * nnt - nx * coef
+        tdy = dy * nnt - ny * coef
+        tdz = dz * nnt - nz * coef
+        tinv = jax.lax.rsqrt(jnp.maximum(tdx * tdx + tdy * tdy + tdz * tdz, 1e-20))
+        tdx, tdy, tdz = tdx * tinv, tdy * tinv, tdz * tinv
+        a_ = ior - 1.0
+        b_ = ior + 1.0
+        r0 = (a_ * a_) / (b_ * b_)
+        cth = 1.0 - jnp.where(into, -ddn, tdx * nx + tdy * ny + tdz * nz)
+        re = r0 + (1.0 - r0) * cth * cth * cth * cth * cth
+        pp = 0.25 + 0.5 * re
+        pick_refl = (u[0] < pp) | tir
+        drx = jnp.where(pick_refl, dsx, tdx)
+        dry = jnp.where(pick_refl, dsy, tdy)
+        drz = jnp.where(pick_refl, dsz, tdz)
+        rscale = jnp.where(
+            tir, 1.0, jnp.where(pick_refl, re / pp, (1.0 - re) / (1.0 - pp))
+        )
+
+        ndx = jnp.where(w_diff, ddfx, jnp.where(w_refr, drx, dsx))
+        ndy = jnp.where(w_diff, ddfy, jnp.where(w_refr, dry, dsy))
+        ndz = jnp.where(w_diff, ddfz, jnp.where(w_refr, drz, dsz))
+        scl = jnp.where(w_refr, rscale, 1.0)
+        tr = jnp.where(live, tr * w_ar * scl, tr)
+        tg = jnp.where(live, tg * w_ag * scl, tg)
+        tb = jnp.where(live, tb * w_ab * scl, tb)
+
+        if with_rr:
+            pmax = jnp.clip(jnp.maximum(jnp.maximum(tr, tg), tb), 0.1, 0.95)
+            survive = u[2] < pmax
+            pinv = 1.0 / pmax
+            tr = jnp.where(survive, tr * pinv, tr)
+            tg = jnp.where(survive, tg * pinv, tg)
+            tb = jnp.where(survive, tb * pinv, tb)
+            alive = live & survive
+        else:
+            alive = live
+
+        off = jnp.where(w_refr, 0.0, eps)
+        ox = jnp.where(live, hx + nlx * off, ox)
+        oy = jnp.where(live, hy + nly * off, oy)
+        oz = jnp.where(live, hz + nlz * off, oz)
+        dx = jnp.where(live, ndx, dx)
+        dy = jnp.where(live, ndy, dy)
+        dz = jnp.where(live, ndz, dz)
+        alive_f = jnp.where(alive, f32(1.0), f32(0.0))
+        return (ox, oy, oz, dx, dy, dz, tr, tg, tb, lr, lg, lb, alive_f)
+
+    state = (ox, oy, oz, dx, dy, dz, tr, tg, tb, lr, lg, lb, alive_f)
+    n_pre = min(rr_depth, bounces)
+    n_rr = bounces - n_pre
+    u_scratch[:, :, :] = uniforms(3 * bounces)
+    if n_pre:
+        state = jax.lax.fori_loop(
+            0, n_pre,
+            lambda i, st: bounce(st, False, u_scratch[pl.ds(3 * i, 3)]),
+            state,
+        )
+    if n_rr:
+        state = jax.lax.fori_loop(
+            0, n_rr,
+            lambda i, st: bounce(st, True, u_scratch[pl.ds(3 * (n_pre + i), 3)]),
+            state,
+        )
+    lr, lg, lb = state[9], state[10], state[11]
+
+    inv_spp = f32(1.0 / spp4)
+
+    @pl.when(a == 0)
+    def _():
+        out_ref[0, 0] = lr * inv_spp
+        out_ref[1, 0] = lg * inv_spp
+        out_ref[2, 0] = lb * inv_spp
+
+    @pl.when(a > 0)
+    def _():
+        out_ref[0, 0] = out_ref[0, 0] + lr * inv_spp
+        out_ref[1, 0] = out_ref[1, 0] + lg * inv_spp
+        out_ref[2, 0] = out_ref[2, 0] + lb * inv_spp
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "spp4", "materials", "tris_per_chunk",
+        "bounces", "rr_depth", "eps", "tile", "interpret",
+    ),
+)
+def render_pt_mesh_pallas(
+    scene_planes,  # [10, S] f32 sphere planes
+    cboxes,  # [C, 6] f32
+    tris27,  # [C*T, TRI_PT_F] f32
+    *,
+    width: int,
+    height: int,
+    spp4: int,
+    materials: tuple,
+    tris_per_chunk: int = 32,
+    bounces: int = 8,
+    rr_depth: int = 5,
+    eps: float = 1e-4,
+    tile: int = 2048,
+    seed=0,
+    interpret: bool = False,
+):
+    """Fully-fused sphere+mesh path trace: per-pixel mean output [3, W*H].
+
+    Same grid/accumulation scheme as render_pt_pallas; mesh tables ride
+    in SMEM when they fit (scalar loads are native), else field-minor
+    VMEM.
+    """
+    from ascendpathtracing_tpu.camera import Camera
+
+    n_pix = width * height
+    if tile % 1024:
+        raise ValueError(f"{tile=} must be a multiple of 1024")
+    if n_pix % tile:
+        raise ValueError(f"pixel count {n_pix} not divisible by {tile=}")
+    nb = n_pix // tile
+    grid = (nb, spp4)
+    c = cboxes.shape[0]
+    ct = tris27.shape[0]
+
+    pos, d0, cx, cy = Camera().basis(width, height)
+    cam_consts = (
+        float(pos[0]), float(pos[1]), float(pos[2]),
+        float(d0[0]), float(d0[1]), float(d0[2]),
+        float(cx[0]), float(cy[0]), float(cy[1]), float(cy[2]),
+        float(Camera().origin_push),
+    )
+
+    flat_tris = (ct * TRI_PT_F * 4 + c * 6 * 4) <= 512 * 1024
+    kernel = functools.partial(
+        _mesh_pt_kernel,
+        width=width, height=height, spp4=spp4, tile=tile,
+        materials=tuple(materials), bounces=bounces, rr_depth=rr_depth,
+        eps=eps, cam_consts=cam_consts, n_chunks=c,
+        tris_per_chunk=tris_per_chunk, flat_tris=flat_tris,
+    )
+    s = scene_planes.shape[1]
+    if flat_tris:
+        tris_in = tris27.reshape(ct * TRI_PT_F)
+        tri_spec = pl.BlockSpec(
+            (ct * TRI_PT_F,), lambda b, a: (0,), memory_space=pltpu.SMEM
+        )
+    else:
+        tris_in = tris27
+        tri_spec = pl.BlockSpec(
+            (ct, TRI_PT_F), lambda b, a: (0, 0), memory_space=pltpu.VMEM
+        )
+
+    c_pad = -(-c // 128) * 128
+    seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
+    total = n_pix * spp4
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((10, s), lambda b, a: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c * 6,), lambda b, a: (0,), memory_space=pltpu.SMEM),
+            tri_spec,
+        ],
+        out_specs=pl.BlockSpec(
+            (3, 1, 8, tile // 8), lambda b, a: (0, b, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((3, nb, 8, tile // 8), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((3 * bounces, 8, tile // 8), jnp.float32),
+            pltpu.VMEM((8, c_pad), jnp.float32),
+            pltpu.SMEM((c,), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=total * bounces * (len(materials) * 14 + c * 25 + 120),
+            bytes_accessed=3 * n_pix * 4,
+            transcendentals=total * bounces * (len(materials) + 8),
+        ),
+        interpret=interpret,
+    )(seed_arr, scene_planes, cboxes.reshape(c * 6), tris_in)
+    return out.reshape(3, n_pix)

@@ -60,6 +60,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 MISS_T = 1e20
 TRI_F = 13  # floats per triangle row: v0 xyz, n xyz, s1 xyz, s2 xyz, d0
+# attr rows append: unit normal (3), albedo (3), emission (3),
+# (is_diff, is_refr) one-hot floats -> 24 total, padded to 24
+TRI_ATTR_F = 24
 
 
 # ------------------------------------------------------------------ builder --
@@ -207,6 +210,25 @@ def permute_face_attrib(grid: ChunkGrid, attrib: np.ndarray, pad_value=0):
     return out
 
 
+def attr_triangle_rows(grid: ChunkGrid, face_albedo, face_emission,
+                       face_material, diff_code=0, refr_code=2) -> np.ndarray:
+    """ChunkGrid + per-face attributes -> [C*T, TRI_ATTR_F] slot rows for
+    ``intersect_chunks_pallas(..., attrs=True)``: the 13 intersection
+    floats plus unit normal, albedo, emission and material one-hots (as
+    0/1 floats — scalar-bool `where` is not lowerable)."""
+    rows = np.zeros((grid.tris.shape[0], TRI_ATTR_F), np.float32)
+    rows[:, :TRI_F] = grid.tris
+    n = grid.tris[:, 3:6].astype(np.float64)
+    nn = np.linalg.norm(n, axis=1, keepdims=True)
+    rows[:, 13:16] = np.where(nn > 0, n / np.maximum(nn, 1e-300), 0.0)
+    rows[:, 16:19] = permute_face_attrib(grid, np.asarray(face_albedo, np.float64))
+    rows[:, 19:22] = permute_face_attrib(grid, np.asarray(face_emission, np.float64))
+    mat = permute_face_attrib(grid, np.asarray(face_material), pad_value=-1)
+    rows[:, 22] = (mat == diff_code).astype(np.float32)
+    rows[:, 23] = (mat == refr_code).astype(np.float32)
+    return rows
+
+
 def chunk_grid_to_device(grid: ChunkGrid):
     """ChunkGrid -> device arrays (cboxes, sboxes, tris, face_of_slot)."""
     return (
@@ -236,6 +258,27 @@ def _slab(ox, oy, oz, ix, iy, iz, bminx, bminy, bminz, bmaxx, bmaxy, bmaxz):
     return tfar >= jnp.maximum(tnear, 0.0)
 
 
+def _slab_tmin(ox, oy, oz, ix, iy, iz, bminx, bminy, bminz, bmaxx, bmaxy,
+               bmaxz, tmin):
+    """Slab test with a per-ray entry bound: boxes entered beyond the
+    current nearest hit cannot contain a closer one."""
+    t1x = (bminx - ox) * ix
+    t2x = (bmaxx - ox) * ix
+    t1y = (bminy - oy) * iy
+    t2y = (bmaxy - oy) * iy
+    t1z = (bminz - oz) * iz
+    t2z = (bmaxz - oz) * iz
+    tnear = jnp.maximum(
+        jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+        jnp.minimum(t1z, t2z),
+    )
+    tfar = jnp.minimum(
+        jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+        jnp.maximum(t1z, t2z),
+    )
+    return (tfar >= jnp.maximum(tnear, 0.0)) & (tnear < tmin)
+
+
 def _wbvh_kernel(
     *refs,
     n_chunks,
@@ -245,9 +288,11 @@ def _wbvh_kernel(
     eps,
     tris_mode,  # "smem" | "vmem" | "hbm"
     boxes_flat,  # True: cboxes/sboxes are flat SMEM; False: [*, 6] VMEM
+    tri_stride=TRI_F,
+    with_attrs=False,  # also emit the winner's shading attributes
 ):
     """Refs (in order): cboxes, [sboxes], tris, rays, tmin_out, hit_out,
-    flags (VMEM scratch), clist (SMEM), [slist (SMEM)],
+    [11 attr outs], flags (VMEM scratch), clist (SMEM), [slist (SMEM)],
     [tri_scratch, dma_sem] (hbm mode)."""
     f32 = jnp.float32
     T = tris_per_chunk
@@ -258,6 +303,7 @@ def _wbvh_kernel(
     rays_ref = next(it)
     tmin_ref = next(it)
     hit_ref = next(it)
+    attr_refs = [next(it) for _ in range(11)] if with_attrs else []
     flags_ref = next(it)
     clist_ref = next(it)
     slist_ref = next(it) if n_supers else None
@@ -351,16 +397,23 @@ def _wbvh_kernel(
         k = jax.lax.fori_loop(0, ks, super_body, jnp.int32(0))
 
     # ---- phase B: precomputed-plane tri tests over listed chunks ------
-    def tri_test(trif, tidx, slot, tmin, hit):
-        # t = (d0 - n.o) / (n.d); w = (o - v0) + t d; u = s1.w; v = s2.w
-        # Unguarded reciprocal: degenerate/padding triangles have n == 0,
-        # so t = 0 * inf = nan and every IEEE compare below is False —
-        # they reject themselves with no explicit mask.
+    # With with_attrs, everything shading needs from the winning triangle
+    # rides in RUNNING CARRIERS updated on `better` (the no-gather idiom;
+    # 1-D gathers of 4M indices measured ~35 ms EACH on v5e, so the jnp
+    # "gather attributes by hit id" pattern costs more than the whole
+    # traversal).  Attr table rows are TRI_ATTR_F floats (see
+    # attr_triangle_rows); carriers are all f32 (i1 in a fori carry fails
+    # Mosaic legalization).
+    def tri_test(trif, tidx, slot, carry):
+        tmin, hit = carry[0], carry[1]
         nx_ = trif(tidx, 3)
         ny_ = trif(tidx, 4)
         nz_ = trif(tidx, 5)
         nd = nx_ * dx + ny_ * dy + nz_ * dz
         no = nx_ * ox + ny_ * oy + nz_ * oz
+        # Unguarded reciprocal: degenerate/padding triangles have n == 0,
+        # so t = 0 * inf = nan and every IEEE compare below is False —
+        # they reject themselves with no explicit mask.
         t = (trif(tidx, 12) - no) / nd
         wx = (ox - trif(tidx, 0)) + t * dx
         wy = (oy - trif(tidx, 1)) + t * dy
@@ -369,12 +422,20 @@ def _wbvh_kernel(
         v = trif(tidx, 9) * wx + trif(tidx, 10) * wy + trif(tidx, 11) * wz
         ok = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > eps)
         better = ok & (t < tmin)
-        tmin2 = jnp.where(better, t, tmin)
-        hit2 = jnp.where(better, jnp.full(shape, slot, jnp.int32), hit)
-        return tmin2, hit2
+        out = [
+            jnp.where(better, t, tmin),
+            jnp.where(better, jnp.full(shape, slot, jnp.int32), hit),
+        ]
+        if with_attrs:
+            for ai in range(11):
+                out.append(jnp.where(better, trif(tidx, 13 + ai), carry[2 + ai]))
+        return tuple(out)
 
     tmin = jnp.full(shape, MISS_T, f32)
     hit = jnp.zeros(shape, jnp.int32)
+    carry0 = (tmin, hit) + tuple(
+        jnp.zeros(shape, f32) for _ in range(11 if with_attrs else 0)
+    )
 
     if tris_mode == "hbm":
         # per-chunk double-buffered DMA of the compacted worklist: fetch
@@ -396,8 +457,7 @@ def _wbvh_kernel(
         def _():
             get_dma(jnp.int32(0), jnp.int32(0)).start()
 
-        def chunk_body(i, st):
-            tmin, hit = st
+        def chunk_body(i, carry):
             buf = jax.lax.rem(i, jnp.int32(2))
 
             @pl.when(i + 1 < k)
@@ -409,28 +469,31 @@ def _wbvh_kernel(
             # scratch reads: dynamic non-minor index (buf), static
             # sublane/lane from the flat offset (j, kk python ints)
             def trif_s(t_, kk):
-                off = t_ * TRI_F + kk
+                off = t_ * tri_stride + kk
                 return tscratch_ref[buf, off // 128, off % 128]
 
             for j in range(T):
-                tmin, hit = tri_test(trif_s, j, base + j, tmin, hit)
-            return tmin, hit
+                carry = tri_test(trif_s, j, base + j, carry)
+            return carry
 
-        tmin, hit = jax.lax.fori_loop(0, k, chunk_body, (tmin, hit))
+        carry0 = jax.lax.fori_loop(0, k, chunk_body, carry0)
     else:
         if tris_mode == "smem":
-            trif = lambda t_, kk: tris_ref[t_ * TRI_F + kk]
+            trif = lambda t_, kk: tris_ref[t_ * tri_stride + kk]
         else:
             trif = lambda t_, kk: tris_ref[t_, kk]
 
-        def chunk_body(i, st):
-            tmin, hit = st
+        def chunk_body(i, carry):
             base = clist_ref[i] * T
             for j in range(T):
-                tmin, hit = tri_test(trif, base + j, base + j, tmin, hit)
-            return tmin, hit
+                carry = tri_test(trif, base + j, base + j, carry)
+            return carry
 
-        tmin, hit = jax.lax.fori_loop(0, k, chunk_body, (tmin, hit))
+        carry0 = jax.lax.fori_loop(0, k, chunk_body, carry0)
+
+    tmin, hit = carry0[0], carry0[1]
+    for ai, ref in enumerate(attr_refs):
+        ref[0] = carry0[2 + ai]
 
     tmin_ref[0] = tmin
     hit_ref[0] = hit
@@ -439,26 +502,31 @@ def _wbvh_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "tris_per_chunk", "supers_per", "eps", "tile", "residency", "interpret"
+        "tris_per_chunk", "supers_per", "eps", "tile", "residency",
+        "attrs", "interpret",
     ),
 )
 def intersect_chunks_pallas(
     rays_planes,  # [6, N] f32
     cboxes,  # [C, 6] f32
     sboxes,  # [Cs, 6] f32 (Cs == 0: single level)
-    tris,  # [C*T, TRI_F] f32
+    tris,  # [C*T, TRI_F] f32 (or [C*T, TRI_ATTR_F] with attrs=True)
     *,
     tris_per_chunk: int = 32,
     supers_per: int = 0,
     eps: float = 1e-4,
     tile: int = 2048,
     residency: str = "auto",  # auto | smem | vmem | hbm
+    attrs: bool = False,
     interpret: bool = False,
 ):
     """Chunked traversal over ray tiles.
 
     Returns (tmin [N] f32, hit [N] i32 — SLOT index into the chunk-
     ordered triangle/attribute arrays, 0 on miss; miss = tmin >= MISS_T).
+    With ``attrs=True`` (tris built by :func:`attr_triangle_rows`) an
+    11-tuple of winner attribute planes is appended, in table order:
+    (nx, ny, nz, ar, ag, ab, er, eg, eb, is_diff, is_refr).
     """
     n = rays_planes.shape[1]
     c = cboxes.shape[0]
@@ -472,9 +540,12 @@ def intersect_chunks_pallas(
         raise ValueError("sboxes/supers_per inconsistent with chunk count")
     nb = n // tile
     lanes = tile // 8
+    stride = tris.shape[1]
+    if attrs and stride != TRI_ATTR_F:
+        raise ValueError(f"attrs=True needs [C*T, {TRI_ATTR_F}] rows")
 
     box_bytes = (c + cs) * 6 * 4
-    tri_bytes = ct * TRI_F * 4
+    tri_bytes = ct * stride * 4
     if residency == "auto":
         if box_bytes + tri_bytes <= 512 * 1024:
             residency = "smem"
@@ -493,6 +564,8 @@ def intersect_chunks_pallas(
         eps=eps,
         tris_mode=residency,
         boxes_flat=boxes_flat,
+        tri_stride=stride,
+        with_attrs=attrs,
     )
 
     inputs = []
@@ -518,23 +591,23 @@ def intersect_chunks_pallas(
                 pl.BlockSpec((cs, 6), lambda b: (0, 0), memory_space=pltpu.VMEM)
             )
     if residency == "smem":
-        inputs.append(tris.reshape(ct * TRI_F))
+        inputs.append(tris.reshape(ct * stride))
         in_specs.append(
-            pl.BlockSpec((ct * TRI_F,), lambda b: (0,), memory_space=pltpu.SMEM)
+            pl.BlockSpec((ct * stride,), lambda b: (0,), memory_space=pltpu.SMEM)
         )
     elif residency == "vmem":
         inputs.append(tris)
         in_specs.append(
-            pl.BlockSpec((ct, TRI_F), lambda b: (0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((ct, stride), lambda b: (0, 0), memory_space=pltpu.VMEM)
         )
     else:
-        # one chunk per (8, 128) tile: T*TRI_F floats padded to 1024
-        row = tris_per_chunk * TRI_F
+        # one chunk per (8, 128) tile: T*stride floats padded to 1024
+        row = tris_per_chunk * stride
         if row > 1024:
             raise ValueError(
-                f"hbm residency needs tris_per_chunk*{TRI_F} <= 1024, got {row}"
+                f"hbm residency needs tris_per_chunk*{stride} <= 1024, got {row}"
             )
-        tris_rows = tris.reshape(c, row)
+        tris_rows = tris.reshape(c, row)  # noqa: F841 (row checked above)
         if row != 1024:
             tris_rows = jnp.pad(tris_rows, ((0, 0), (0, 1024 - row)))
         inputs.append(tris_rows.reshape(c, 8, 128))
@@ -558,19 +631,25 @@ def intersect_chunks_pallas(
         scratch.append(pltpu.VMEM((2, 8, 128), jnp.float32))
         scratch.append(pltpu.SemaphoreType.DMA((2,)))
 
-    tmin, hit = pl.pallas_call(
+    n_out = 2 + (11 if attrs else 0)
+    blk = lambda: pl.BlockSpec((1, 8, lanes), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)
+    out_specs = tuple(blk() for _ in range(n_out))
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((nb, 8, lanes),
+                             jnp.int32 if i == 1 else jnp.float32)
+        for i in range(n_out)
+    )
+    outs = pl.pallas_call(
         kernel,
         grid=(nb,),
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((1, 8, lanes), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, lanes), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((nb, 8, lanes), jnp.float32),
-            jax.ShapeDtypeStruct((nb, 8, lanes), jnp.int32),
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
     )(*inputs)
-    return tmin.reshape(n), hit.reshape(n)
+    outs = tuple(o.reshape(n) for o in outs)
+    if attrs:
+        return outs[0], outs[1], outs[2:]
+    return outs[0], outs[1]

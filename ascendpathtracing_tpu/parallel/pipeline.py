@@ -1,25 +1,30 @@
-"""Pipeline parallelism over the bounce dimension (GPipe over depth).
+"""Pipeline parallelism over the bounce dimension — a systolic RING.
 
 The bounce loop is a depth-wise chain of identical stages, so it
-pipelines exactly like layers of a network: stage k (one device on the
-'stage' mesh axis) applies bounces [k*B/S, (k+1)*B/S) to a microbatch of
-rays and forwards the ray state to stage k+1 over ICI with
-``lax.ppermute``.  With M microbatches the schedule runs M + S - 1 steps
-(the classic bubble).
+pipelines like layers of a network.  Rather than GPipe's inject/drain
+schedule (which kept the full ray array replicated on every stage — the
+round-1 version's flaw), rays are SHARDED across the 'stage' axis
+(``in_specs=P('stage')``) and the ray STATE rotates around the ring with
+``lax.ppermute``: at step s every device applies its ``bounces/S``-bounce
+chunk to whichever shard currently resides, then passes the state to the
+next stage.  After S steps each shard has passed every stage exactly once
+and is back on its home device, so outputs come out sharded ``P('stage')``
+with no gather.
 
-This is the structural analogue of "scale the big axis" the reference
-cannot express (its cores share nothing, SURVEY §2.5): rays stream
-through a *chain* of devices instead of being split across them — useful
-when per-device HBM cannot hold the full working set (giant scenes per
-stage) and as the framework's PP reference implementation.
+Per-device memory is N/S ray states + N/S outputs — PP genuinely bounds
+the working set (the "giant scene per stage" use case: each stage holds
+1/S of the scene tables and applies only its own chunk).  There is no
+pipeline bubble: stages are busy every step because every shard is always
+somewhere in the ring (the classic bubble exists only when microbatches
+must enter serially through stage 0).
 
-Semantics are bit-identical to the single-device megakernel: the same
-bounce body runs B times in total (verified in float64 by tests).
+Semantics are bit-identical to the single-device megakernel: every shard
+receives the same ``bounces`` applications of the same bounce body, and
+with identical per-stage scene tables the visit ORDER is immaterial
+(verified bit-for-bit in float64 by tests/test_pipeline.py).
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -65,89 +70,50 @@ def render_reference_pipelined(
     mesh: Mesh,
     *,
     bounces: int = 8,
-    microbatches: int = 8,
     eps: float = 1e-4,
     axis: str = "stage",
+    microbatches: int | None = None,  # accepted for CLI/back-compat; unused
 ):
-    """Reference-mode render pipelined over a 1-D ('stage',) mesh.
+    """Reference-mode render ring-pipelined over a 1-D ('stage',) mesh.
 
-    rays [N, 6] (replicated); N must divide by ``microbatches``; bounces
-    must divide by the stage count. Returns colors [N, 3] (replicated).
+    rays [N, 6]; N must divide by the stage count (the shards), bounces
+    must divide by the stage count. Returns colors [N, 3], sharded
+    P('stage') over the same mesh.
     """
     n = rays.shape[0]
     n_stages = mesh.shape[axis]
     if bounces % n_stages:
         raise ValueError(f"{bounces=} not divisible by {n_stages=} stages")
-    if n % microbatches:
-        raise ValueError(f"{n=} rays not divisible by {microbatches=}")
+    if n % n_stages:
+        raise ValueError(f"{n=} rays not divisible by {n_stages=} stages")
     per_stage = bounces // n_stages
-    mb = n // microbatches
-    m_total = microbatches
     dtype = rays.dtype
 
-    def body(rays_rep, scene):
-        stage = lax.axis_index(axis)
-        rays_mb = rays_rep.reshape(m_total, mb, 6)
-
-        def empty_state():
-            z = jnp.zeros((mb,), dtype)
-            o = jnp.ones((mb,), dtype)
-            return ((z, z, z), (z, z, z), (o, o, o), jnp.zeros((mb,), bool))
-
-        def inject(t):
-            t_c = jnp.clip(t, 0, m_total - 1)
-            r = lax.dynamic_index_in_dim(rays_mb, t_c, 0, keepdims=False)
-            o3, d3 = rays_to_soa(r)
-            ones = jnp.ones((mb,), dtype)
-            return (o3, d3, (ones, ones, ones), jnp.ones((mb,), bool))
-
-        emi = scene["emission"][scene["light_index"]]
-
-        def finalize(st):
-            tput = st[2]
-            return jnp.stack(
-                [tput[0] * emi[0], tput[1] * emi[1], tput[2] * emi[2]], axis=1
-            )
-
-        out = jnp.zeros((m_total, mb, 3), dtype)
-        state = empty_state()
+    def body(rays_sh, scene):
+        o3, d3 = rays_to_soa(rays_sh)
+        m = o3[0].shape[0]
+        ones = jnp.ones((m,), dtype)
+        state = (o3, d3, (ones, ones, ones), jnp.ones((m,), bool))
         fwd = [(i, (i + 1) % n_stages) for i in range(n_stages)]
 
-        def step(t, carry):
-            state, out = carry
-            is_first = stage == 0
-            injected = inject(t)
-            state = jax.tree.map(
-                lambda a, b: jnp.where(is_first, a, b), injected, state
-            )
-            state = _bounce_chunk(state, scene, per_stage, eps)
-            # last stage completes microbatch m = t - (S-1)
-            m = t - (n_stages - 1)
-            color = finalize(state)
-            write = (stage == n_stages - 1) & (m >= 0)
-            m_c = jnp.clip(m, 0, m_total - 1)
-            cur = lax.dynamic_index_in_dim(out, m_c, 0, keepdims=False)
-            new = jnp.where(write, color, cur)
-            out = lax.dynamic_update_index_in_dim(out, new, m_c, 0)
-            # forward ray state to the next stage over ICI
-            state = jax.tree.map(
-                lambda x: lax.ppermute(x, axis, fwd), state
-            )
-            return state, out
+        def step(_s, st):
+            st = _bounce_chunk(st, scene, per_stage, eps)
+            # hand the ray state to the next stage over ICI; after
+            # n_stages rotations every shard is home again
+            return jax.tree.map(lambda x: lax.ppermute(x, axis, fwd), st)
 
-        state, out = lax.fori_loop(0, m_total + n_stages - 1, step, (state, out))
-        # only the last stage holds real outputs (which it has just
-        # ppermuted AWAY from itself — note we wrote `out` BEFORE the
-        # rotate, so stage S-1 holds them); broadcast to all stages.
-        keep = (stage == n_stages - 1).astype(dtype)
-        out = lax.psum(out * keep, axis)
-        return out.reshape(n, 3)
+        state = lax.fori_loop(0, n_stages, step, state)
+        emi = scene["emission"][scene["light_index"]]
+        tput = state[2]
+        return jnp.stack(
+            [tput[0] * emi[0], tput[1] * emi[1], tput[2] * emi[2]], axis=1
+        )
 
     f = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(), P()),
-        out_specs=P(),
+        in_specs=(P(axis), P()),
+        out_specs=P(axis),
         check_vma=False,
     )
     return jax.jit(f)(rays, scene)

@@ -59,12 +59,12 @@ def test_mesh_hit_sorted_equals_unsorted():
     saved = mesh_mod._SORT_MIN_N
     mesh_mod._SORT_MIN_N = 0  # force the sort path at test-size n
     try:
-        t_s, h_s, m_s = mesh_mod._mesh_hit(
+        t_s, h_s, m_s, _ = mesh_mod._mesh_hit(
             o3, d3, dev, 1e-4, dev["static"], sort=True
         )
     finally:
         mesh_mod._SORT_MIN_N = saved
-    t_u, h_u, m_u = mesh_mod._mesh_hit(o3, d3, dev, 1e-4, dev["static"], sort=False)
+    t_u, h_u, m_u, _ = mesh_mod._mesh_hit(o3, d3, dev, 1e-4, dev["static"], sort=False)
     np.testing.assert_array_equal(np.asarray(t_s), np.asarray(t_u))
     np.testing.assert_array_equal(np.asarray(m_s), np.asarray(m_u))
     hits = np.asarray(t_u) < 1e19
