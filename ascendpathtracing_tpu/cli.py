@@ -176,8 +176,40 @@ def cmd_render(args) -> int:
     t_gen = time.time() - t0
 
     dev = megakernel.scene_to_device(scene)
+    if args.renderer == "pallas" and mesh_scene is not None:
+        # Fused sphere+mesh PT kernel preflight: hardware-only (the
+        # interpreter has no TPU PRNG) — CPU falls back to the jit mesh
+        # renderer below.
+        if jax.default_backend() != "tpu":
+            print("note: --renderer pallas on mesh scenes needs a TPU "
+                  "(no interpreter PRNG); using the jit mesh renderer",
+                  file=sys.stderr)
+            args.renderer = "jit"
+        elif (w * h) % 1024:
+            print("error: mesh pallas renderer needs width*height "
+                  "divisible by 1024", file=sys.stderr)
+            return 2
+
     t0 = time.time()
-    if args.renderer == "pallas":
+    if args.renderer == "pallas" and mesh_scene is not None:
+        # The fused sphere+mesh PT kernel (ops/pallas_mesh_pt.py): one
+        # Pallas kernel does camera+RNG+spheres+chunked-BVH+shading+RR.
+        from ascendpathtracing_tpu.ops import pallas_mesh_pt as mpt
+
+        planes, cb, sb, t24, mats, grid = mpt.mesh_pt_tables(mesh_scene)
+        img3 = mpt.render_pt_mesh_pallas(
+            planes, cb, sb, t24, width=w, height=h, spp4=4 * s,
+            materials=mats, tris_per_chunk=grid.tris_per_chunk,
+            supers_per=grid.supers_per, bounces=args.bounces,
+            seed=args.seed, tile=1024 if (w * h) % 2048 else 2048,
+        )
+        # the kernel accumulates the per-pixel MEAN on device; expand
+        # it across the 4*s subsample slots so color.bin keeps its
+        # layout (decode averages the slots -> identical image)
+        colors = jax.numpy.repeat(
+            img3.reshape(3, w * h, 1), 4 * s, axis=2
+        ).reshape(3, w * h * 4 * s).T
+    elif args.renderer == "pallas":
         if args.mode != "reference":
             print("error: --renderer pallas supports --mode reference only",
                   file=sys.stderr)
@@ -424,7 +456,80 @@ def cmd_selftest(args) -> int:
         print(json.dumps({"check": "pt_pallas_energy_vs_jit",
                           "skipped": "needs real TPU RNG"}))
 
-    # 5. checkify NaN/div guards over the jit renderer: in-graph float
+    # 5. Chunked mesh traversal vs brute force — the mesh stack's
+    #    correctness gate on THIS backend (real Mosaic kernel on TPU,
+    #    interpreter elsewhere).
+    from ascendpathtracing_tpu.accel import meshes as mesh_lib
+    from ascendpathtracing_tpu.accel import tri as tri_mod
+    from ascendpathtracing_tpu.ops import pallas_wbvh as wbvh
+
+    v32, fcs = mesh_lib.icosphere(subdivisions=2)
+    v32 = np.asarray(v32, np.float32)
+    rng_st = np.random.RandomState(0)
+    n_tr = 1024
+    o_ = rng_st.randn(3, n_tr).astype(np.float32)
+    o_ /= np.linalg.norm(o_, axis=0)
+    o_ *= 3.0
+    d_ = rng_st.randn(3, n_tr).astype(np.float32)
+    d_ /= np.linalg.norm(d_, axis=0)
+    rays_tr = jnp.asarray(np.concatenate([o_, d_], 0))
+    tplanes = tri_mod.triangle_planes(v32, fcs, dtype=np.float32)
+    ts_b = tri_mod.intersect_triangles_brute(
+        (rays_tr[0], rays_tr[1], rays_tr[2]),
+        (rays_tr[3], rays_tr[4], rays_tr[5]),
+        tuple(jnp.asarray(c) for c in tplanes[0]),
+        tuple(jnp.asarray(c) for c in tplanes[1]),
+        tuple(jnp.asarray(c) for c in tplanes[2]), 1e-4,
+    )
+    bt = np.asarray(jnp.min(ts_b, 0))
+    grid_st = wbvh.build_chunk_grid(v32, fcs, tris_per_chunk=32)
+    cb_st, sb_st, t13_st, _ = wbvh.chunk_grid_to_device(grid_st)
+    tmin_k, hit_k = wbvh.intersect_chunks_pallas(
+        rays_tr, cb_st, sb_st, t13_st, tris_per_chunk=32, tile=1024,
+        interpret=interpret,
+    )
+    tmin_k = np.asarray(tmin_k)
+    hitm = bt < 1e19
+    same_set = bool(((tmin_k >= 1e19) == ~hitm).all())
+    terr = float(np.abs(tmin_k[hitm] - bt[hitm]).max()) if hitm.any() else 0.0
+    report("wbvh_chunks_vs_brute", same_set and terr < 1e-3,
+           hit_frac=float(hitm.mean()), max_t_err=terr, interpret=interpret)
+
+    # 6. Fused mesh PT kernel vs the XLA-loop mesh renderer: energy
+    #    parity on hardware (real-TPU only: needs the on-chip PRNG).
+    if on_tpu:
+        from ascendpathtracing_tpu.models import mesh as mesh_mod
+        from ascendpathtracing_tpu.ops import pallas_mesh_pt as mpt
+
+        vms, fms = mesh_lib.icosphere(
+            center=(50, 40, 60), radius=14.0, subdivisions=2
+        )
+        ms = mesh_mod.MeshScene.cornell_with_mesh(
+            vms, fms, albedo=(0.85, 0.55, 0.2), base_scene="smallpt9"
+        )
+        pl_, cb_, sb_, t24_, mats_, grid_ = mpt.mesh_pt_tables(ms)
+        wm = hm = 32
+        spp4m = 16
+        img_f = np.asarray(mpt.render_pt_mesh_pallas(
+            pl_, cb_, sb_, t24_, width=wm, height=hm, spp4=spp4m,
+            materials=mats_, tris_per_chunk=grid_.tris_per_chunk,
+            supers_per=grid_.supers_per, bounces=4, rr_depth=3, tile=1024,
+        ))
+        rays_m = camera.generate_rays_numpy(wm, hm, spp4m // 4, seed=0)
+        mdev = mesh_mod.mesh_scene_to_device(ms, pallas_bvh_kernel=True)
+        img_x = np.asarray(mesh_mod.render_pt_mesh(
+            jax.random.PRNGKey(0), jnp.asarray(rays_m.astype(np.float32)),
+            mdev, bounces=4, rr_depth=3,
+        ))
+        mf, mx = float(img_f.mean()), float(img_x.mean())
+        rel = abs(mf - mx) / max(mx, 1e-9)
+        report("mesh_pt_fused_energy_vs_xla", rel < 0.15 and np.isfinite(mf),
+               fused_mean=mf, xla_mean=mx, rel_diff=rel)
+    else:
+        print(json.dumps({"check": "mesh_pt_fused_energy_vs_xla",
+                          "skipped": "needs real TPU RNG"}))
+
+    # 7. checkify NaN/div guards over the jit renderer: in-graph float
     #    checks must pass on a healthy render AND catch an injected NaN
     #    (the analogue of the reference's CPU-debug allocator checks,
     #    allocator.h:261-284).

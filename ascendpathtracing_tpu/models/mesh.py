@@ -339,10 +339,16 @@ def first_hit_mesh_impl(rays, dev, *, eps=1e-4, static=StaticConf("brute", 0, 0,
 
 def render_pt_mesh_impl(
     key, rays, dev, *, bounces: int = 8, rr_depth: int = 5, eps: float = 1e-4,
-    static: StaticConf = StaticConf("brute", 0, 0, 0),
+    static: StaticConf = StaticConf("brute", 0, 0, 0), uniforms=None,
 ):
     """smallpt estimator over spheres + mesh. Same structure as
-    megakernel.render_pt_impl with a two-way nearest-hit combine."""
+    megakernel.render_pt_impl with a two-way nearest-hit combine.
+
+    ``uniforms`` ([bounces, 3, N], optional) replaces the in-loop
+    ``jax.random`` draws with a caller-supplied stream — what makes the
+    DP-sharded render (parallel/sharded.py) BIT-EQUAL to this one: the
+    stream is drawn once at global size and sharded with the rays, so
+    shard boundaries cannot perturb the samples."""
     o3, d3 = megakernel.rays_to_soa(rays)
     n = o3[0].shape[0]
     dtype = o3[0].dtype
@@ -366,8 +372,11 @@ def render_pt_mesh_impl(
 
     def body(depth, state):
         key, o3, d3, rad, tput, alive = state
-        key, k1 = jax.random.split(key)
-        u = jax.random.uniform(k1, (3, n), dtype=dtype)
+        if uniforms is None:
+            key, k1 = jax.random.split(key)
+            u = jax.random.uniform(k1, (3, n), dtype=dtype)
+        else:
+            u = uniforms[depth].astype(dtype)
 
         st, shit, smiss = megakernel.default_hit_fn(o3, d3, sph, eps)
         # sort=False: with the attrs-carrier kernel a 4M-ray traversal is

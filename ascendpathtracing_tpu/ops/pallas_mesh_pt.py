@@ -1,15 +1,16 @@
 """Fully-fused mesh path-tracing Pallas kernel — the flagship renderer
-for combined sphere+mesh scenes (VERDICT r1 item 4: the reference's
-single-fused-kernel shape, /root/reference/src/render.cpp:104-207,
-applied to the BVH world).
+for combined sphere+mesh scenes (the reference's single-fused-kernel
+shape, /root/reference/src/render.cpp:104-207, applied to the BVH
+world).
 
 camera generation + PRNG + sphere intersection + chunked-BVH mesh
 traversal + shading + Russian roulette all run in ONE kernel per
 (pixel-tile, sample-layer) grid cell; HBM traffic is exactly the
-per-pixel output.  The XLA-loop mesh renderer (models/mesh.py) pays
-per-bounce sorts, gathers and kernel-launch round trips for the same
-estimator; here the only per-bounce mesh cost is the chunk-grid walk
-(ops/pallas_wbvh.py phases A/B) against rays already in registers.
+per-pixel output (plus, for huge scenes, the DMA-streamed triangle
+worklist).  The XLA-loop mesh renderer (models/mesh.py) pays per-bounce
+gathers and kernel-launch round trips for the same estimator; here the
+only per-bounce mesh cost is the chunk-grid walk (the shared
+ops/pallas_wbvh.py phases) against rays already in registers.
 
 Everything the shading needs from the winning primitive rides in
 RUNNING CARRIERS updated inside the triangle/sphere test (albedo,
@@ -17,10 +18,20 @@ emission, normal, material one-hots) — the same no-gather idiom as the
 sphere kernel (ops/pallas_kernels.py docstring), extended with a
 `w_tri` flag that selects triangle normals over sphere normals.
 
-Triangle rows are TRI_PT_F = 27 floats: the 13 intersection floats of
-ops/pallas_wbvh.py plus unit normal (3), albedo (3), emission (3),
-and (is_diff, is_refr) material one-hots (scalar-bool `where` is not
-lowerable, so materials ride as 0/1 floats).
+Triangle rows are the TRI_ATTR_F = 24 floats of
+:func:`pallas_wbvh.attr_triangle_rows`: 13 intersection floats plus
+unit normal (3), albedo (3), emission (3), and (is_diff, is_refr)
+material one-hots (scalar-bool `where` is not lowerable, so materials
+ride as 0/1 floats).
+
+Scaling structure (all shared with the traversal kernel via
+``compact_worklist`` / ``streamed_chunk_loop``):
+
+- one chunk level for small scenes, superchunk gating for large ones
+  (phase A costs O(supers + hit_supers * supers_per) slab tests);
+- triangle residency SMEM -> VMEM -> HBM with per-chunk double-buffered
+  DMA of the per-bounce compacted worklist, so 100k+-triangle scenes
+  run fully fused.
 """
 
 from __future__ import annotations
@@ -37,56 +48,88 @@ from ascendpathtracing_tpu.ops import pallas_wbvh as wbvh
 from ascendpathtracing_tpu.scenes import DIFF, REFR
 
 MISS_T = 1e20
-TRI_PT_F = 27
+TRI_PT_F = wbvh.TRI_ATTR_F  # 24: 13 intersection + 11 shading floats
 
 
 def pack_mesh_for_pt(grid: wbvh.ChunkGrid, ms) -> np.ndarray:
-    """ChunkGrid + MeshScene -> [C*T, TRI_PT_F] slot-ordered rows."""
-    rows = np.zeros((grid.tris.shape[0], TRI_PT_F), np.float32)
-    rows[:, :13] = grid.tris
-    n = grid.tris[:, 3:6].astype(np.float64)
-    nn = np.linalg.norm(n, axis=1, keepdims=True)
-    rows[:, 13:16] = np.where(nn > 0, n / np.maximum(nn, 1e-300), 0.0)
-    rows[:, 16:19] = wbvh.permute_face_attrib(
-        grid, np.asarray(ms.face_albedo, np.float64)
+    """ChunkGrid + MeshScene -> [C*T, TRI_PT_F] slot-ordered rows (the
+    same layout as the traversal kernel's attrs=True table)."""
+    return wbvh.attr_triangle_rows(
+        grid, ms.face_albedo, ms.face_emission, ms.face_material,
+        diff_code=DIFF, refr_code=REFR,
     )
-    rows[:, 19:22] = wbvh.permute_face_attrib(
-        grid, np.asarray(ms.face_emission, np.float64)
+
+
+def mesh_pt_tables(ms, *, tris_per_chunk: int = 32, supers_per: int | None = None):
+    """MeshScene -> everything :func:`render_pt_mesh_pallas` needs.
+
+    Returns (scene_planes [10, S] f32, cboxes [C, 6], sboxes [Cs, 6],
+    tris24 [C*T, TRI_PT_F], materials tuple, grid).  ``supers_per`` auto
+    defaults like models/mesh.py: 64 once the chunk count reaches 512.
+    """
+    faces = np.asarray(ms.faces)
+    if supers_per is None:
+        n_ch_est = -(-faces.shape[0] // tris_per_chunk)
+        supers_per = 64 if n_ch_est >= 512 else 0
+    grid = wbvh.build_chunk_grid(
+        ms.vertices, faces, tris_per_chunk=tris_per_chunk,
+        supers_per=supers_per,
     )
-    mat = wbvh.permute_face_attrib(grid, np.asarray(ms.face_material), pad_value=-1)
-    rows[:, 22] = (mat == DIFF).astype(np.float32)
-    rows[:, 23] = (mat == REFR).astype(np.float32)
-    return rows
+    tris24 = pack_mesh_for_pt(grid, ms)
+    planes = jnp.asarray(ms.spheres.soa10())
+    mats = tuple(int(m) for m in ms.spheres.material)
+    return (
+        planes, jnp.asarray(grid.cboxes), jnp.asarray(grid.sboxes),
+        jnp.asarray(tris24), mats, grid,
+    )
 
 
 def _mesh_pt_kernel(
-    seed_ref,
-    scene_ref,   # [10, S] sphere planes, VMEM
-    cboxes_ref,  # flat [C*6] SMEM
-    tris_ref,    # flat [C*T*TRI_PT_F] SMEM or [C*T, TRI_PT_F] VMEM
-    out_ref,
-    u_scratch,
-    flags_ref,   # VMEM (8, C_pad128)
-    clist_ref,   # SMEM (C,)
-    *,
+    *refs,
     width, height, spp4, tile, materials, bounces, rr_depth, eps,
-    cam_consts, n_chunks, tris_per_chunk, flat_tris,
+    cam_consts, n_chunks, n_supers, supers_per, tris_per_chunk,
+    tris_mode,  # "smem" | "vmem" | "hbm"
+    boxes_flat,
+    use_rng,  # False in interpret mode: prng_* has no CPU lowering at
+              # all, so uniforms become EXACT zeros — the deterministic
+              # u=0 estimator tests/test_pallas_mesh_pt.py mirrors
 ):
+    """Refs (in order): seed, scene planes, cboxes, [sboxes], tris,
+    out, u_scratch, flags (VMEM), clist (SMEM), [slist (SMEM)],
+    [tri_scratch, dma_sem] (hbm mode)."""
     f32 = jnp.float32
     T = tris_per_chunk
+    it = iter(refs)
+    seed_ref = next(it)
+    scene_ref = next(it)
+    cboxes_ref = next(it)
+    sboxes_ref = next(it) if n_supers else None
+    tris_ref = next(it)
+    out_ref = next(it)
+    u_scratch = next(it)
+    flags_ref = next(it)
+    clist_ref = next(it)
+    slist_ref = next(it) if n_supers else None
+    tscratch_ref = next(it) if tris_mode == "hbm" else None
+    dsem_ref = next(it) if tris_mode == "hbm" else None
+
     b = pl.program_id(0)
     a = pl.program_id(1)
     n_layers = pl.num_programs(1)
-    pltpu.prng_seed(seed_ref[0] + b * n_layers + a)
+    if use_rng:
+        pltpu.prng_seed(seed_ref[0] + b * n_layers + a)
     lanes = tile // 8
 
-    if flat_tris:
-        trif = lambda t_, k: tris_ref[t_ * TRI_PT_F + k]
+    if boxes_flat:
+        cbox = lambda c, k: cboxes_ref[c * 6 + k]
+        sbox = (lambda s, k: sboxes_ref[s * 6 + k]) if n_supers else None
     else:
-        trif = lambda t_, k: tris_ref[t_, k]
-    cbox = lambda c, k: cboxes_ref[c * 6 + k]
+        cbox = lambda c, k: cboxes_ref[c, k]
+        sbox = (lambda s, k: sboxes_ref[s, k]) if n_supers else None
 
     def uniforms(n_streams):
+        if not use_rng:
+            return jnp.zeros((n_streams, 8, lanes), f32)
         bits = pltpu.bitcast(
             pltpu.prng_random_bits((n_streams, 8, lanes)), jnp.uint32
         )
@@ -97,7 +140,6 @@ def _mesh_pt_kernel(
 
     s = spp4 // 4
     sub = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), 0)
-    lane128 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), 1)
     pix = b * tile + sub * lanes + lane
     i_idx = pix // height
@@ -195,35 +237,28 @@ def _mesh_pt_kernel(
                 w_refr = w_refr & jnp.logical_not(better)
             # spheres run before triangles, so w_trif stays 0 here
 
-        # ---- mesh: chunk-grid walk (ops/pallas_wbvh.py phases) --------
+        # ---- mesh: chunk-grid walk (shared ops/pallas_wbvh.py phases) -
         inv_dx = 1.0 / jnp.where(dx == 0, 1e-30, dx)
         inv_dy = 1.0 / jnp.where(dy == 0, 1e-30, dy)
         inv_dz = 1.0 / jnp.where(dz == 0, 1e-30, dz)
-        for g in range(0, n_chunks, 128):
-            acc = jnp.zeros((8, 128), f32)
-            for cl in range(min(128, n_chunks - g)):
-                hitbox = wbvh._slab_tmin(
-                    ox, oy, oz, inv_dx, inv_dy, inv_dz,
-                    cbox(g + cl, 0), cbox(g + cl, 1), cbox(g + cl, 2),
-                    cbox(g + cl, 3), cbox(g + cl, 4), cbox(g + cl, 5),
-                    # unlike the standalone kernel, a real tmin exists
-                    # here BEFORE the mesh walk (the spheres ran first):
-                    # chunks entirely behind the sphere/wall hit are
-                    # never listed
-                    tmin,
-                )
-                m = jnp.max(hitbox.astype(f32), axis=1, keepdims=True)
-                acc = jnp.where(lane128 == cl, m, acc)
-            flags_ref[:, g : g + 128] = acc
-        flags_ref[0:1, :] = jnp.max(flags_ref[:, :], axis=0, keepdims=True)
 
-        k = jnp.int32(0)
-        for c in range(n_chunks):
-            hit_c = flags_ref[0, c] > 0.0
-            clist_ref[k] = jnp.int32(c)
-            k = k + jnp.where(hit_c, 1, 0).astype(jnp.int32)
+        def slab_bounded(box, i):
+            # unlike the standalone kernel, a real tmin exists here
+            # BEFORE the mesh walk (the spheres ran first): boxes
+            # entered beyond the sphere/wall hit are never listed
+            return wbvh._slab_tmin(
+                ox, oy, oz, inv_dx, inv_dy, inv_dz,
+                box(i, 0), box(i, 1), box(i, 2),
+                box(i, 3), box(i, 4), box(i, 5),
+                tmin,
+            )
 
-        def tri_test(tidx, carry):
+        k = wbvh.compact_worklist(
+            flags_ref, clist_ref, slist_ref, slab_bounded, cbox, sbox,
+            n_chunks=n_chunks, n_supers=n_supers, supers_per=supers_per,
+        )
+
+        def tri_test(trif, tidx, carry):
             # material flags ride as 0/1 FLOATS in this carry: i1 vectors
             # in a fori_loop carry fail Mosaic legalization (LESSONS #11)
             (tmin, w_ar, w_ag, w_ab, w_er, w_eg, w_eb, w_diff_f, w_refr_f,
@@ -257,17 +292,22 @@ def _mesh_pt_kernel(
             return (tmin, w_ar, w_ag, w_ab, w_er, w_eg, w_eb, w_diff_f,
                     w_refr_f, w_trif, w_nx, w_ny, w_nz)
 
-        def chunk_body(i, carry):
-            base = clist_ref[i] * T
+        def chunk_fn(trif, base, carry):
+            del base  # this kernel never needs the winning SLOT id
             for j in range(T):
-                carry = tri_test(base + j, carry)
+                carry = tri_test(trif, j, carry)
             return carry
 
         carry = (tmin, w_ar, w_ag, w_ab, w_er, w_eg, w_eb,
                  jnp.where(w_diff, f32(1.0), f32(0.0)),
                  jnp.where(w_refr, f32(1.0), f32(0.0)),
                  w_trif, w_nx, w_ny, w_nz)
-        carry = jax.lax.fori_loop(0, k, chunk_body, carry)
+        carry = wbvh.streamed_chunk_loop(
+            k, clist_ref, chunk_fn, carry,
+            tris_mode=tris_mode, tris_ref=tris_ref, tris_per_chunk=T,
+            tri_stride=TRI_PT_F, tscratch_ref=tscratch_ref,
+            dsem_ref=dsem_ref,
+        )
         (tmin, w_ar, w_ag, w_ab, w_er, w_eg, w_eb, w_diff_f, w_refr_f,
          w_trif, w_nx, w_ny, w_nz) = carry
         w_diff = w_diff_f > 0.5
@@ -418,31 +458,37 @@ def _mesh_pt_kernel(
     jax.jit,
     static_argnames=(
         "width", "height", "spp4", "materials", "tris_per_chunk",
-        "bounces", "rr_depth", "eps", "tile", "interpret",
+        "supers_per", "bounces", "rr_depth", "eps", "tile", "residency",
+        "interpret",
     ),
 )
 def render_pt_mesh_pallas(
     scene_planes,  # [10, S] f32 sphere planes
     cboxes,  # [C, 6] f32
-    tris27,  # [C*T, TRI_PT_F] f32
+    sboxes,  # [Cs, 6] f32 (Cs == 0: single level)
+    tris24,  # [C*T, TRI_PT_F] f32 (attr_triangle_rows layout)
     *,
     width: int,
     height: int,
     spp4: int,
     materials: tuple,
     tris_per_chunk: int = 32,
+    supers_per: int = 0,
     bounces: int = 8,
     rr_depth: int = 5,
     eps: float = 1e-4,
     tile: int = 2048,
     seed=0,
+    residency: str = "auto",  # auto | smem | vmem | hbm
     interpret: bool = False,
 ):
     """Fully-fused sphere+mesh path trace: per-pixel mean output [3, W*H].
 
     Same grid/accumulation scheme as render_pt_pallas; mesh tables ride
-    in SMEM when they fit (scalar loads are native), else field-minor
-    VMEM.
+    in SMEM when they fit (scalar loads are native), then field-minor
+    VMEM, then HBM with per-chunk double-buffered DMA of each bounce's
+    compacted worklist (``residency="auto"`` picks; the thresholds and
+    the packing match ops/pallas_wbvh.py).
     """
     from ascendpathtracing_tpu.camera import Camera
 
@@ -454,7 +500,12 @@ def render_pt_mesh_pallas(
     nb = n_pix // tile
     grid = (nb, spp4)
     c = cboxes.shape[0]
-    ct = tris27.shape[0]
+    cs = sboxes.shape[0]
+    ct = tris24.shape[0]
+    if cs and cs * supers_per != c:
+        raise ValueError("sboxes/supers_per inconsistent with chunk count")
+    if tris24.shape[1] != TRI_PT_F:
+        raise ValueError(f"tris24 must be [C*T, {TRI_PT_F}] attr rows")
 
     pos, d0, cx, cy = Camera().basis(width, height)
     cam_consts = (
@@ -464,53 +515,109 @@ def render_pt_mesh_pallas(
         float(Camera().origin_push),
     )
 
-    flat_tris = (ct * TRI_PT_F * 4 + c * 6 * 4) <= 512 * 1024
+    box_bytes = (c + cs) * 6 * 4
+    tri_bytes = ct * TRI_PT_F * 4
+    if residency == "auto":
+        if box_bytes + tri_bytes <= 512 * 1024:
+            residency = "smem"
+        elif tri_bytes <= 8 * 1024 * 1024:
+            residency = "vmem"
+        else:
+            residency = "hbm"
+    boxes_flat = box_bytes <= 512 * 1024
+
     kernel = functools.partial(
         _mesh_pt_kernel,
         width=width, height=height, spp4=spp4, tile=tile,
         materials=tuple(materials), bounces=bounces, rr_depth=rr_depth,
-        eps=eps, cam_consts=cam_consts, n_chunks=c,
-        tris_per_chunk=tris_per_chunk, flat_tris=flat_tris,
+        eps=eps, cam_consts=cam_consts, n_chunks=c, n_supers=cs,
+        supers_per=supers_per, tris_per_chunk=tris_per_chunk,
+        tris_mode=residency, boxes_flat=boxes_flat, use_rng=not interpret,
     )
     s = scene_planes.shape[1]
-    if flat_tris:
-        tris_in = tris27.reshape(ct * TRI_PT_F)
-        tri_spec = pl.BlockSpec(
-            (ct * TRI_PT_F,), lambda b, a: (0,), memory_space=pltpu.SMEM
+
+    seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
+    inputs = [seed_arr, scene_planes]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((10, s), lambda b, a: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    if boxes_flat:
+        inputs.append(cboxes.reshape(c * 6))
+        in_specs.append(
+            pl.BlockSpec((c * 6,), lambda b, a: (0,), memory_space=pltpu.SMEM)
+        )
+        if cs:
+            inputs.append(sboxes.reshape(cs * 6))
+            in_specs.append(
+                pl.BlockSpec((cs * 6,), lambda b, a: (0,),
+                             memory_space=pltpu.SMEM)
+            )
+    else:
+        inputs.append(cboxes)
+        in_specs.append(
+            pl.BlockSpec((c, 6), lambda b, a: (0, 0), memory_space=pltpu.VMEM)
+        )
+        if cs:
+            inputs.append(sboxes)
+            in_specs.append(
+                pl.BlockSpec((cs, 6), lambda b, a: (0, 0),
+                             memory_space=pltpu.VMEM)
+            )
+    if residency == "smem":
+        inputs.append(tris24.reshape(ct * TRI_PT_F))
+        in_specs.append(
+            pl.BlockSpec((ct * TRI_PT_F,), lambda b, a: (0,),
+                         memory_space=pltpu.SMEM)
+        )
+    elif residency == "vmem":
+        inputs.append(tris24)
+        in_specs.append(
+            pl.BlockSpec((ct, TRI_PT_F), lambda b, a: (0, 0),
+                         memory_space=pltpu.VMEM)
         )
     else:
-        tris_in = tris27
-        tri_spec = pl.BlockSpec(
-            (ct, TRI_PT_F), lambda b, a: (0, 0), memory_space=pltpu.VMEM
-        )
+        # one chunk per (8, 128) tile (see streamed_chunk_loop docstring)
+        row = tris_per_chunk * TRI_PT_F
+        if row > 1024:
+            raise ValueError(
+                f"hbm residency needs tris_per_chunk*{TRI_PT_F} <= 1024, "
+                f"got {row}"
+            )
+        tris_rows = tris24.reshape(c, row)
+        if row != 1024:
+            tris_rows = jnp.pad(tris_rows, ((0, 0), (0, 1024 - row)))
+        inputs.append(tris_rows.reshape(c, 8, 128))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
 
-    c_pad = -(-c // 128) * 128
-    seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
+    flags_lanes = -(-max(cs if cs else c, 128) // 128) * 128
+    scratch = [
+        pltpu.VMEM((3 * bounces, 8, tile // 8), jnp.float32),
+        pltpu.VMEM((8, flags_lanes), jnp.float32),
+        pltpu.SMEM((c,), jnp.int32),
+    ]
+    if cs:
+        scratch.append(pltpu.SMEM((cs,), jnp.int32))
+    if residency == "hbm":
+        scratch.append(pltpu.VMEM((2, 8, 128), jnp.float32))
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
+
     total = n_pix * spp4
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((10, s), lambda b, a: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c * 6,), lambda b, a: (0,), memory_space=pltpu.SMEM),
-            tri_spec,
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (3, 1, 8, tile // 8), lambda b, a: (0, b, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((3, nb, 8, tile // 8), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((3 * bounces, 8, tile // 8), jnp.float32),
-            pltpu.VMEM((8, c_pad), jnp.float32),
-            pltpu.SMEM((c,), jnp.int32),
-        ],
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=total * bounces * (len(materials) * 14 + c * 25 + 120),
             bytes_accessed=3 * n_pix * 4,
             transcendentals=total * bounces * (len(materials) + 8),
         ),
         interpret=interpret,
-    )(seed_arr, scene_planes, cboxes.reshape(c * 6), tris_in)
+    )(*inputs)
     return out.reshape(3, n_pix)

@@ -279,6 +279,147 @@ def _slab_tmin(ox, oy, oz, ix, iy, iz, bminx, bminy, bminz, bmaxx, bmaxy,
     return (tfar >= jnp.maximum(tnear, 0.0)) & (tnear < tmin)
 
 
+def compact_worklist(
+    flags_ref,
+    clist_ref,
+    slist_ref,
+    slab,          # slab(box_fn, index) -> (8, lanes) bool hit mask
+    cbox,          # cbox(i, k) scalar box reads
+    sbox,          # sbox(i, k) or None
+    *,
+    n_chunks,
+    n_supers,
+    supers_per,
+):
+    """Phases A+Sync+Compact shared by the traversal and fused-PT kernels:
+    slab-test boxes lanes-wide into the (8, 128)-blocked ``flags_ref``,
+    collapse to per-box scalars with ONE sublane reduce per block, then
+    scalar-core-compact hit chunk ids into ``clist_ref``.  Two-level when
+    ``n_supers``: supers gate, then only hit supers' chunks are tested.
+    Returns the worklist length ``k`` (traced i32)."""
+    f32 = jnp.float32
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+
+    if not n_supers:
+        for g in range(0, n_chunks, 128):
+            acc = jnp.zeros((8, 128), f32)
+            for cl in range(min(128, n_chunks - g)):
+                m = jnp.max(slab(cbox, g + cl).astype(f32), axis=1, keepdims=True)
+                acc = jnp.where(lane == cl, m, acc)
+            flags_ref[:, g : g + 128] = acc
+        flags_ref[0:1, :] = jnp.max(flags_ref[:, :], axis=0, keepdims=True)
+
+        k = jnp.int32(0)
+        for c in range(n_chunks):
+            hit_c = flags_ref[0, c] > 0.0
+            clist_ref[k] = jnp.int32(c)
+            k = k + jnp.where(hit_c, 1, 0).astype(jnp.int32)
+        return k
+
+    # two-level: supers first (static unroll), then the chunks of each hit
+    # super (fori over the compacted super list; chunk box reads use
+    # traced indices — scalar loads take those fine)
+    for g in range(0, n_supers, 128):
+        acc = jnp.zeros((8, 128), f32)
+        for sl in range(min(128, n_supers - g)):
+            m = jnp.max(slab(sbox, g + sl).astype(f32), axis=1, keepdims=True)
+            acc = jnp.where(lane == sl, m, acc)
+        flags_ref[:, g : g + 128] = acc
+    flags_ref[0:1, :] = jnp.max(flags_ref[:, :], axis=0, keepdims=True)
+
+    ks = jnp.int32(0)
+    for s in range(n_supers):
+        hit_s = flags_ref[0, s] > 0.0
+        slist_ref[ks] = jnp.int32(s)
+        ks = ks + jnp.where(hit_s, 1, 0).astype(jnp.int32)
+
+    def super_body(i, k):
+        base_c = slist_ref[i] * supers_per
+        acc = jnp.zeros((8, 128), f32)
+        for cl in range(supers_per):
+            m = jnp.max(slab(cbox, base_c + cl).astype(f32), axis=1, keepdims=True)
+            acc = jnp.where(lane == cl, m, acc)
+        flags_ref[:, 0:128] = acc
+        flags_ref[0:1, 0:128] = jnp.max(flags_ref[:, 0:128], axis=0, keepdims=True)
+        for cl in range(supers_per):
+            hit_c = flags_ref[0, cl] > 0.0
+            clist_ref[k] = base_c + cl
+            k = k + jnp.where(hit_c, 1, 0).astype(jnp.int32)
+        return k
+
+    return jax.lax.fori_loop(0, ks, super_body, jnp.int32(0))
+
+
+def streamed_chunk_loop(
+    k,
+    clist_ref,
+    chunk_fn,      # chunk_fn(trif, base_slot, carry) -> carry
+    carry0,
+    *,
+    tris_mode,     # "smem" | "vmem" | "hbm"
+    tris_ref,
+    tris_per_chunk,
+    tri_stride,
+    tscratch_ref=None,
+    dsem_ref=None,
+):
+    """Phase B driver shared by the traversal and fused-PT kernels: fori
+    over the compacted worklist, calling ``chunk_fn`` once per hit chunk
+    with a ``trif(j, kk)`` reader for float ``kk`` of the chunk's j-th
+    triangle and the chunk's base SLOT id.  ``hbm`` mode double-buffers
+    a per-chunk DMA of the worklist (fetch chunk i+1's tile while testing
+    chunk i) — HBM tris are packed ONE CHUNK PER (8, 128) TILE
+    ([C, 8, 128]): Mosaic requires DMA slice minor dims be tile-aligned,
+    and scalar reads from the landing scratch only lower with the dynamic
+    index on a non-minor dim ((2, 8, 128)[buf, j, kk] lowers; (2, 1024)
+    [buf, j] does not — measured on v5e)."""
+    T = tris_per_chunk
+    if tris_mode == "hbm":
+        def get_dma(slot_buf, i):
+            c = clist_ref[i]
+            return pltpu.make_async_copy(
+                tris_ref.at[pl.ds(c, 1), :],
+                tscratch_ref.at[pl.ds(slot_buf, 1), :],
+                dsem_ref.at[slot_buf],
+            )
+
+        @pl.when(k > 0)
+        def _():
+            get_dma(jnp.int32(0), jnp.int32(0)).start()
+
+        def chunk_body(i, carry):
+            buf = jax.lax.rem(i, jnp.int32(2))
+
+            @pl.when(i + 1 < k)
+            def _():
+                get_dma(jax.lax.rem(i + 1, jnp.int32(2)), i + 1).start()
+
+            get_dma(buf, i).wait()
+            base = clist_ref[i] * T
+            # scratch reads: dynamic non-minor index (buf), static
+            # sublane/lane from the flat offset (j, kk python ints)
+            def trif_s(t_, kk):
+                off = t_ * tri_stride + kk
+                return tscratch_ref[buf, off // 128, off % 128]
+
+            return chunk_fn(trif_s, base, carry)
+
+        return jax.lax.fori_loop(0, k, chunk_body, carry0)
+
+    if tris_mode == "smem":
+        def chunk_body(i, carry):
+            base = clist_ref[i] * T
+            trif = lambda t_, kk: tris_ref[(base + t_) * tri_stride + kk]
+            return chunk_fn(trif, base, carry)
+    else:
+        def chunk_body(i, carry):
+            base = clist_ref[i] * T
+            trif = lambda t_, kk: tris_ref[base + t_, kk]
+            return chunk_fn(trif, base, carry)
+
+    return jax.lax.fori_loop(0, k, chunk_body, carry0)
+
+
 def _wbvh_kernel(
     *refs,
     n_chunks,
@@ -330,8 +471,6 @@ def _wbvh_kernel(
     inv_dy = 1.0 / jnp.where(dy == 0, 1e-30, dy)
     inv_dz = 1.0 / jnp.where(dz == 0, 1e-30, dz)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-
     def slab_idx(box, i):
         return _slab(
             ox, oy, oz, inv_dx, inv_dy, inv_dz,
@@ -339,62 +478,10 @@ def _wbvh_kernel(
         )
 
     # ---- phase A: box tests -> compacted chunk worklist ---------------
-    if not n_supers:
-        # single level: every chunk box, straight-line vector code
-        for g in range(0, n_chunks, 128):
-            acc = jnp.zeros((8, 128), f32)
-            for cl in range(min(128, n_chunks - g)):
-                m = jnp.max(
-                    slab_idx(cbox, g + cl).astype(f32), axis=1, keepdims=True
-                )
-                acc = jnp.where(lane == cl, m, acc)
-            flags_ref[:, g : g + 128] = acc
-        flags_ref[0:1, :] = jnp.max(flags_ref[:, :], axis=0, keepdims=True)
-
-        k = jnp.int32(0)
-        for c in range(n_chunks):
-            hit_c = flags_ref[0, c] > 0.0
-            clist_ref[k] = jnp.int32(c)
-            k = k + jnp.where(hit_c, 1, 0).astype(jnp.int32)
-    else:
-        # two-level: supers first (static unroll), then the chunks of
-        # each hit super (fori over the compacted super list; chunk box
-        # reads use traced indices — scalar loads take those fine)
-        for g in range(0, n_supers, 128):
-            acc = jnp.zeros((8, 128), f32)
-            for sl in range(min(128, n_supers - g)):
-                m = jnp.max(
-                    slab_idx(sbox, g + sl).astype(f32), axis=1, keepdims=True
-                )
-                acc = jnp.where(lane == sl, m, acc)
-            flags_ref[:, g : g + 128] = acc
-        flags_ref[0:1, :] = jnp.max(flags_ref[:, :], axis=0, keepdims=True)
-
-        ks = jnp.int32(0)
-        for s in range(n_supers):
-            hit_s = flags_ref[0, s] > 0.0
-            slist_ref[ks] = jnp.int32(s)
-            ks = ks + jnp.where(hit_s, 1, 0).astype(jnp.int32)
-
-        def super_body(i, k):
-            base_c = slist_ref[i] * supers_per
-            acc = jnp.zeros((8, 128), f32)
-            for cl in range(supers_per):
-                m = jnp.max(
-                    slab_idx(cbox, base_c + cl).astype(f32), axis=1, keepdims=True
-                )
-                acc = jnp.where(lane == cl, m, acc)
-            flags_ref[:, 0:128] = acc
-            flags_ref[0:1, 0:128] = jnp.max(
-                flags_ref[:, 0:128], axis=0, keepdims=True
-            )
-            for cl in range(supers_per):
-                hit_c = flags_ref[0, cl] > 0.0
-                clist_ref[k] = base_c + cl
-                k = k + jnp.where(hit_c, 1, 0).astype(jnp.int32)
-            return k
-
-        k = jax.lax.fori_loop(0, ks, super_body, jnp.int32(0))
+    k = compact_worklist(
+        flags_ref, clist_ref, slist_ref, slab_idx, cbox, sbox,
+        n_chunks=n_chunks, n_supers=n_supers, supers_per=supers_per,
+    )
 
     # ---- phase B: precomputed-plane tri tests over listed chunks ------
     # With with_attrs, everything shading needs from the winning triangle
@@ -437,59 +524,18 @@ def _wbvh_kernel(
         jnp.zeros(shape, f32) for _ in range(11 if with_attrs else 0)
     )
 
-    if tris_mode == "hbm":
-        # per-chunk double-buffered DMA of the compacted worklist: fetch
-        # chunk i+1's row while testing chunk i.  HBM tris are packed ONE
-        # CHUNK PER (8, 128) TILE ([C, 8, 128]): Mosaic requires DMA
-        # slice minor dims be tile-aligned, and scalar reads from the
-        # landing scratch only lower with the dynamic index on a
-        # non-minor dim ((2, 8, 128)[buf, j, k] lowers; (2, 1024)[buf, j]
-        # does not — measured on v5e).
-        def get_dma(slot_buf, i):
-            c = clist_ref[i]
-            return pltpu.make_async_copy(
-                tris_ref.at[pl.ds(c, 1), :],
-                tscratch_ref.at[pl.ds(slot_buf, 1), :],
-                dsem_ref.at[slot_buf],
-            )
+    def chunk_fn(trif, base, carry):
+        for j in range(T):
+            carry = tri_test(trif, j, base + j, carry)
+        return carry
 
-        @pl.when(k > 0)
-        def _():
-            get_dma(jnp.int32(0), jnp.int32(0)).start()
-
-        def chunk_body(i, carry):
-            buf = jax.lax.rem(i, jnp.int32(2))
-
-            @pl.when(i + 1 < k)
-            def _():
-                get_dma(jax.lax.rem(i + 1, jnp.int32(2)), i + 1).start()
-
-            get_dma(buf, i).wait()
-            base = clist_ref[i] * T
-            # scratch reads: dynamic non-minor index (buf), static
-            # sublane/lane from the flat offset (j, kk python ints)
-            def trif_s(t_, kk):
-                off = t_ * tri_stride + kk
-                return tscratch_ref[buf, off // 128, off % 128]
-
-            for j in range(T):
-                carry = tri_test(trif_s, j, base + j, carry)
-            return carry
-
-        carry0 = jax.lax.fori_loop(0, k, chunk_body, carry0)
-    else:
-        if tris_mode == "smem":
-            trif = lambda t_, kk: tris_ref[t_ * tri_stride + kk]
-        else:
-            trif = lambda t_, kk: tris_ref[t_, kk]
-
-        def chunk_body(i, carry):
-            base = clist_ref[i] * T
-            for j in range(T):
-                carry = tri_test(trif, base + j, base + j, carry)
-            return carry
-
-        carry0 = jax.lax.fori_loop(0, k, chunk_body, carry0)
+    carry0 = streamed_chunk_loop(
+        k, clist_ref, chunk_fn, carry0,
+        tris_mode=tris_mode, tris_ref=tris_ref, tris_per_chunk=T,
+        tri_stride=tri_stride,
+        tscratch_ref=tscratch_ref if tris_mode == "hbm" else None,
+        dsem_ref=dsem_ref if tris_mode == "hbm" else None,
+    )
 
     tmin, hit = carry0[0], carry0[1]
     for ai, ref in enumerate(attr_refs):
@@ -503,7 +549,7 @@ def _wbvh_kernel(
     jax.jit,
     static_argnames=(
         "tris_per_chunk", "supers_per", "eps", "tile", "residency",
-        "attrs", "interpret",
+        "boxes_residency", "attrs", "interpret",
     ),
 )
 def intersect_chunks_pallas(
@@ -517,6 +563,7 @@ def intersect_chunks_pallas(
     eps: float = 1e-4,
     tile: int = 2048,
     residency: str = "auto",  # auto | smem | vmem | hbm
+    boxes_residency: str = "auto",  # auto | smem | vmem (force for tests)
     attrs: bool = False,
     interpret: bool = False,
 ):
@@ -553,7 +600,10 @@ def intersect_chunks_pallas(
             residency = "vmem"
         else:
             residency = "hbm"
-    boxes_flat = box_bytes <= 512 * 1024
+    if boxes_residency == "auto":
+        boxes_flat = box_bytes <= 512 * 1024
+    else:
+        boxes_flat = boxes_residency == "smem"
 
     kernel = functools.partial(
         _wbvh_kernel,

@@ -20,6 +20,7 @@ inter-core communication.  Here parallelism is first-class (SURVEY §2.5):
 from ascendpathtracing_tpu.parallel.mesh import make_mesh, mesh_shape_for
 from ascendpathtracing_tpu.parallel.sharded import (
     make_train_step,
+    render_pt_mesh_sharded,
     render_reference_sharded,
     shard_rays,
     split_scene_params,
@@ -29,6 +30,7 @@ __all__ = [
     "make_mesh",
     "mesh_shape_for",
     "make_train_step",
+    "render_pt_mesh_sharded",
     "render_reference_sharded",
     "shard_rays",
     "split_scene_params",

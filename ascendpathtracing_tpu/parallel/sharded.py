@@ -106,6 +106,87 @@ def render_reference_sharded(
     return jax.jit(f)(rays, scene)
 
 
+def render_pt_mesh_sharded(
+    key,
+    rays,
+    mdev: dict,
+    mesh: Mesh,
+    *,
+    bounces: int = 8,
+    rr_depth: int = 5,
+    eps: float = 1e-4,
+    bit_equal: bool = True,
+):
+    """Mesh-scene PT render DP-sharded over rays, scene tables (sphere
+    planes + slot-ordered triangle/attribute arrays) replicated — the
+    reference's 8-core block split (/root/reference/src/render.cpp:24)
+    generalized to the flagship scene type (VERDICT r2 item 3).
+
+    ``bit_equal=True`` draws the whole per-bounce uniform stream ONCE at
+    global size from ``key`` — replicating render_pt_mesh's in-loop
+    ``split``/``uniform`` sequence exactly — and shards it with the
+    rays, so the result is BITWISE-EQUAL to the single-device render
+    (gated by tests/test_parallel.py).  Costs bounces*3*N floats of HBM;
+    for production-size ray counts use ``bit_equal=False``, which
+    instead folds the shard index into the key inside each shard
+    (independent per-shard streams, same estimator, no extra memory).
+
+    ``mdev`` must use a shard_map-safe traversal on this backend (the
+    jnp/brute paths everywhere; the Pallas chunks kernel is fine on
+    TPU, where it lowers per-device).
+    """
+    from ascendpathtracing_tpu.models import mesh as mesh_mod
+
+    traced, static = mesh_mod._split_static(mdev)
+    n = rays.shape[0]
+    axes = ("data", "model")
+    if bit_equal:
+        # replicate _render_pt_mesh_jit's stream: carry the key through
+        # per-bounce splits, draw [3, N] at each depth
+        ks = []
+        k = key
+        for _ in range(bounces):
+            k, k1 = jax.random.split(k)
+            ks.append(k1)
+        u = jnp.stack(
+            [jax.random.uniform(k1, (3, n), dtype=rays.dtype) for k1 in ks]
+        )
+
+        def body(rays_sh, u_sh, scene):
+            return mesh_mod.render_pt_mesh_impl(
+                key, rays_sh, scene, bounces=bounces, rr_depth=rr_depth,
+                eps=eps, static=static, uniforms=u_sh,
+            )
+
+        f = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(axes, None), P(None, None, axes), P()),
+            out_specs=P(axes, None),
+            check_vma=False,
+        )
+        return jax.jit(f)(rays, u, traced)
+
+    def body(rays_sh, scene):
+        idx = lax.axis_index("data") * mesh.shape["model"] + lax.axis_index(
+            "model"
+        )
+        k_local = jax.random.fold_in(key, idx)
+        return mesh_mod.render_pt_mesh_impl(
+            k_local, rays_sh, scene, bounces=bounces, rr_depth=rr_depth,
+            eps=eps, static=static,
+        )
+
+    f = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axes, None), P()),
+        out_specs=P(axes, None),
+        check_vma=False,
+    )
+    return jax.jit(f)(rays, traced)
+
+
 # --------------------------------------------------------------- automatic ----
 def split_scene_params(scene: dict):
     """Split the scene pytree into (differentiable params, static aux)."""

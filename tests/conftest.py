@@ -18,19 +18,30 @@ import os
 # env var is not enough on machines whose sitecustomize imports jax at
 # interpreter start (the env default is frozen into jax config then), so
 # also update the config directly before any backend initializes.
-os.environ["JAX_PLATFORMS"] = "cpu"
+#
+# ESCAPE HATCH: the *_tpu.py hardware tests need the real chip, which
+# this pin would make unreachable from pytest entirely.  Set
+# APT_TPU_TESTS=1 to keep the session backend (and f32) — e.g.
+#   APT_TPU_TESTS=1 python -m pytest tests/ -q -k tpu
+# on the bench machine; everything else still skips itself off-TPU.
+_TPU_RUN = os.environ.get("APT_TPU_TESTS") == "1"
+
+if not _TPU_RUN:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
+if not _TPU_RUN and "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-# Float64 is the numerically-stable parity gate (see
-# tests/test_reference_parity.py); enable it for the CPU test process.
-jax.config.update("jax_enable_x64", True)
+if not _TPU_RUN:
+    jax.config.update("jax_platforms", "cpu")
+    # Float64 is the numerically-stable parity gate (see
+    # tests/test_reference_parity.py); enable it for the CPU test
+    # process.  (Not on TPU: the chip is f32-native.)
+    jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,124 @@
+"""Fused sphere+mesh PT kernel — hardware-only tests (run with
+``APT_TPU_TESTS=1 python -m pytest tests/ -q -k tpu`` on the bench
+machine; the Pallas TPU interpreter stubs the PRNG, so RNG-dependent
+output is only meaningful on a real chip).
+
+Covers what interpret mode cannot: Mosaic lowering of the fused kernel
+(incl. the per-bounce HBM DMA worklist streaming), the on-chip PRNG,
+and statistical agreement with the independently-tested XLA-loop mesh
+renderer (models/mesh.py) on the same estimator.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+
+def _tpu_available():
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # noqa: BLE001
+        return False
+
+
+pytestmark = pytest.mark.skipif(not _tpu_available(), reason="needs real TPU")
+
+
+def _scene(subdivisions=3):
+    from ascendpathtracing_tpu.accel import meshes
+    from ascendpathtracing_tpu.models import mesh as mesh_mod
+
+    v, f = meshes.icosphere(
+        center=(50, 40, 60), radius=14.0, subdivisions=subdivisions
+    )
+    return mesh_mod.MeshScene.cornell_with_mesh(
+        v, f, albedo=(0.85, 0.55, 0.2), base_scene="smallpt9"
+    )
+
+
+def test_mesh_pt_pallas_energy_matches_xla_loop():
+    import jax.numpy as jnp
+
+    from ascendpathtracing_tpu import camera
+    from ascendpathtracing_tpu.models import mesh as mesh_mod
+    from ascendpathtracing_tpu.ops import pallas_mesh_pt as mpt
+
+    ms = _scene()
+    w = h = 32
+    spp4 = 64
+    planes, cb, sb, t24, mats, grid = mpt.mesh_pt_tables(ms, tris_per_chunk=32)
+    img = np.asarray(
+        mpt.render_pt_mesh_pallas(
+            planes, cb, sb, t24, width=w, height=h, spp4=spp4,
+            materials=mats, tris_per_chunk=grid.tris_per_chunk,
+            supers_per=grid.supers_per, bounces=6, rr_depth=4, tile=1024,
+        )
+    )
+    assert np.isfinite(img).all() and img.min() >= 0
+
+    rays = camera.generate_rays_numpy(w, h, spp4 // 4, seed=0).astype(np.float32)
+    mdev = mesh_mod.mesh_scene_to_device(ms, pallas_bvh_kernel=True)
+    ref = np.asarray(
+        mesh_mod.render_pt_mesh(
+            jax.random.PRNGKey(5), jnp.asarray(rays), mdev, bounces=6,
+            rr_depth=4,
+        )
+    ).reshape(w * h, spp4, 3).mean(1).T
+    corr = np.corrcoef(img.reshape(-1), ref.reshape(-1))[0, 1]
+    ratio = img.mean() / ref.mean()
+    assert corr > 0.9, corr
+    assert 0.9 < ratio < 1.1, ratio
+
+
+def test_mesh_pt_pallas_residencies_bitwise_equal_on_chip():
+    """Same seed -> identical image across smem/vmem/hbm residency: the
+    DMA-streamed path must reproduce the resident paths bit-for-bit
+    (exercises Mosaic lowering of the double-buffered worklist DMA,
+    which interpret mode does not)."""
+    from ascendpathtracing_tpu.ops import pallas_mesh_pt as mpt
+
+    ms = _scene()
+    planes, cb, sb, t24, mats, grid = mpt.mesh_pt_tables(ms, tris_per_chunk=32)
+
+    def render(res):
+        return np.asarray(
+            mpt.render_pt_mesh_pallas(
+                planes, cb, sb, t24, width=32, height=32, spp4=8,
+                materials=mats, tris_per_chunk=grid.tris_per_chunk,
+                supers_per=grid.supers_per, bounces=4, rr_depth=3,
+                tile=1024, seed=7, residency=res,
+            )
+        )
+
+    base = render("smem")
+    assert np.isfinite(base).all() and base.std() > 0
+    for res in ("vmem", "hbm"):
+        np.testing.assert_array_equal(base, render(res), err_msg=res)
+
+
+def test_mesh_pt_pallas_superchunk_hbm_large_scene():
+    """20k-triangle scene through superchunk gating + HBM DMA residency
+    (the large-scene configuration) — finite, lit, and energy-consistent
+    with the auto-residency render."""
+    from ascendpathtracing_tpu.ops import pallas_mesh_pt as mpt
+
+    ms = _scene(subdivisions=5)  # 20480 tris
+    planes, cb, sb, t24, mats, grid = mpt.mesh_pt_tables(
+        ms, tris_per_chunk=32, supers_per=64
+    )
+    assert grid.n_supers > 0
+
+    def render(res):
+        return np.asarray(
+            mpt.render_pt_mesh_pallas(
+                planes, cb, sb, t24, width=32, height=32, spp4=8,
+                materials=mats, tris_per_chunk=grid.tris_per_chunk,
+                supers_per=grid.supers_per, bounces=4, rr_depth=3,
+                tile=1024, seed=3, residency=res,
+            )
+        )
+
+    img_hbm = render("hbm")
+    assert np.isfinite(img_hbm).all() and img_hbm.mean() > 0
+    np.testing.assert_array_equal(img_hbm, render("auto"))

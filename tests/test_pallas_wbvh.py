@@ -98,6 +98,30 @@ def test_chunked_traversal_matches_brute(supers_per, residency):
     np.testing.assert_allclose(tmin[hitm], bt[hitm], rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("supers_per", [0, 4])
+def test_vmem_boxes_path_matches_brute(supers_per):
+    """boxes_residency='vmem' forces the [*, 6]-VMEM box reads with
+    traced row indices (the >21k-chunk large-scene path, normally
+    unreachable from small scenes) — must agree with brute force like
+    the SMEM-flat path does."""
+    v32, f = _scene()
+    rays = _rays()
+    bt, bh = _brute(v32, f, rays)
+    hitm = bt < 1e19
+
+    grid = W.build_chunk_grid(v32, f, tris_per_chunk=32, supers_per=supers_per)
+    cb, sb, t13, _ = W.chunk_grid_to_device(grid)
+    tmin, hit = W.intersect_chunks_pallas(
+        rays, cb, sb, t13, tris_per_chunk=32, supers_per=supers_per,
+        tile=1024, residency="vmem", boxes_residency="vmem", interpret=True,
+    )
+    tmin = np.asarray(tmin)
+    fids = grid.face_of_slot[np.asarray(hit)]
+    np.testing.assert_array_equal(tmin >= 1e19, ~hitm)
+    assert (fids[hitm] == bh[hitm]).all()
+    np.testing.assert_allclose(tmin[hitm], bt[hitm], rtol=1e-4, atol=1e-5)
+
+
 def test_ray_sort_keys_6d_groups_direction():
     # rays at one origin with two opposite directions must sort into two
     # contiguous groups (the octant key would too); rays with slightly

@@ -49,6 +49,55 @@ def test_sharded_render_matches_single_device(model_parallel):
     np.testing.assert_array_equal(expect, got)
 
 
+@pytest.mark.parametrize("traversal", ["brute", "jnp"])
+def test_sharded_mesh_render_matches_single_device(traversal):
+    """DP-sharded mesh PT render (VERDICT r2 item 3) must equal the
+    single-device render BITWISE: bit_equal mode draws the uniform
+    stream once at global size and shards it with the rays."""
+    from ascendpathtracing_tpu.accel import meshes as mesh_lib
+    from ascendpathtracing_tpu.models import mesh as mesh_mod
+    from ascendpathtracing_tpu.parallel import render_pt_mesh_sharded
+
+    v, f = mesh_lib.cube(center=(50, 30, 60), size=25.0)
+    ms = mesh_mod.MeshScene.cornell_with_mesh(v, f, albedo=(0.8, 0.5, 0.2))
+    mdev = mesh_mod.mesh_scene_to_device(
+        ms, dtype=jnp.float64, use_bvh=(traversal == "jnp")
+    )
+    rays = jnp.asarray(_rays64(16, 16))
+    key = jax.random.PRNGKey(3)
+    expect = np.asarray(mesh_mod.render_pt_mesh(key, rays, mdev, bounces=4))
+
+    mesh = make_mesh(8)
+    got = np.asarray(
+        render_pt_mesh_sharded(key, rays, mdev, mesh, bounces=4)
+    )
+    np.testing.assert_array_equal(expect, got)
+
+
+def test_sharded_mesh_render_independent_rng_energy():
+    """bit_equal=False (per-shard folded keys, the production-size mode)
+    renders the same scene at statistically consistent energy."""
+    from ascendpathtracing_tpu.accel import meshes as mesh_lib
+    from ascendpathtracing_tpu.models import mesh as mesh_mod
+    from ascendpathtracing_tpu.parallel import render_pt_mesh_sharded
+
+    v, f = mesh_lib.cube(center=(50, 30, 60), size=25.0)
+    ms = mesh_mod.MeshScene.cornell_with_mesh(v, f, albedo=(0.8, 0.5, 0.2))
+    mdev = mesh_mod.mesh_scene_to_device(ms, dtype=jnp.float64, use_bvh=False)
+    rays = jnp.asarray(_rays64(32, 32))
+    key = jax.random.PRNGKey(3)
+    ref = np.asarray(mesh_mod.render_pt_mesh(key, rays, mdev, bounces=4))
+
+    mesh = make_mesh(8)
+    got = np.asarray(
+        render_pt_mesh_sharded(key, rays, mdev, mesh, bounces=4,
+                               bit_equal=False)
+    )
+    assert np.isfinite(got).all()
+    rel = abs(got.mean() - ref.mean()) / max(ref.mean(), 1e-9)
+    assert rel < 0.1, (got.mean(), ref.mean())
+
+
 def test_train_step_runs_and_reduces_loss():
     mesh = make_mesh(8)
     rays = _rays64(16, 16)
