@@ -336,7 +336,11 @@ def cmd_render(args) -> int:
         "gen_s": round(t_gen, 4),
         "render_s": round(t_render, 4),
         # One definition everywhere (bench.py, BASELINE.md): Mrays/s counts
-        # PRIMARY rays, not ray-bounces.
+        # PRIMARY rays, not ray-bounces.  NOTE: this is an END-TO-END WALL
+        # number — render_s fences on np.asarray, so on a tunneled TPU it
+        # includes compile (first run) and the full D2H transfer.  For
+        # steady-state device throughput use bench.py (two-point overhead
+        # fit); the two are intentionally different measurements.
         "mrays_per_s": round(n_rays / max(t_render, 1e-9) / 1e6, 3),
         "mray_bounces_per_s": round(
             n_rays * args.bounces / max(t_render, 1e-9) / 1e6, 3

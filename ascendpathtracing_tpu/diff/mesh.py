@@ -124,6 +124,54 @@ _render_jit = jax.jit(
 _depth_jit = jax.jit(depth_aov_params_impl, static_argnames=("eps", "static"))
 
 
+class StaleKernelTablesError(RuntimeError):
+    """Traced vertices have drifted too far from the traversal kernel's
+    frozen chunk tables — hit decisions come from stale geometry."""
+
+
+def table_drift(params, dev, faces) -> float:
+    """Max vertex displacement (fraction of the scene diagonal) between
+    the traced ``params["vertices"]`` and the geometry frozen into the
+    chunks-kernel tables at ``mesh_scene_to_device`` time.
+
+    In chunks mode the kernel's cboxes/packed tables do NOT follow the
+    traced vertices; beyond a small drift the detached hit decisions are
+    for a different mesh and gradients silently rot (the failure mode
+    the module docstring warns about).  Returns 0.0 for non-chunks
+    traversals (their geometry IS the traced planes)."""
+    import numpy as np
+
+    static = dev["static"]
+    if static.traversal != "chunks":
+        return 0.0
+    v = np.asarray(params["vertices"], np.float64)
+    tri = v[np.asarray(faces)]
+    v0_new = np.stack([tri[:, 0, i] for i in range(3)], 1)
+    fos = np.asarray(dev["face_of_slot"])
+    live = fos >= 0
+    v0_frozen = np.stack([np.asarray(p, np.float64) for p in dev["v0"]], 1)
+    delta = np.abs(v0_frozen[live] - v0_new[fos[live]]).max() if live.any() else 0.0
+    lo, hi = (np.asarray(x, np.float64) for x in dev["wbvh_bounds"])
+    diag = float(np.linalg.norm(hi - lo))
+    return float(delta / max(diag, 1e-30))
+
+
+def assert_tables_fresh(params, dev, faces, *, tol: float = 0.01):
+    """Guard for vertex-optimization loops in chunks mode: raise
+    :class:`StaleKernelTablesError` once drift exceeds ``tol`` (default
+    1% of the scene diagonal) — the caller should rebuild the device
+    scene (``mesh_scene_to_device``) outside jit and continue.  Returns
+    the measured drift so callers can log it."""
+    d = table_drift(params, dev, faces)
+    if d > tol:
+        raise StaleKernelTablesError(
+            f"vertices drifted {d:.4f} of scene diagonal from the frozen "
+            f"kernel tables (tol={tol}); rebuild the device scene with "
+            "mesh_scene_to_device before continuing"
+        )
+    return d
+
+
 def render_pt_mesh_params(key, rays, params, dev, faces, **kw):
     """Jitted differentiable render: radiance [N, 3] as a function of the
     traced params pytree (plus dev's sphere params if differentiated

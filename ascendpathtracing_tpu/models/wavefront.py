@@ -220,3 +220,228 @@ def render_wavefront(
     st = jax.lax.while_loop(cond, body, st)
     image = st[7]
     return image / spp4
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "spp4", "pool", "bounces", "rr_depth", "eps",
+        "static", "coherence_sort",
+    ),
+)
+def _render_wavefront_mesh_impl(
+    key,
+    dev: dict,
+    *,
+    width: int,
+    height: int,
+    spp4: int,
+    pool: int,
+    bounces: int,
+    rr_depth: int,
+    eps: float,
+    static,
+    coherence_sort: bool,
+):
+    from ascendpathtracing_tpu.models import mesh as mesh_mod
+    from ascendpathtracing_tpu.ops import sort as sort_mod
+    from ascendpathtracing_tpu.scenes import DIFF as _DIFF, REFR as _REFR
+
+    total = width * height * spp4
+    n_pix = width * height
+    dtype = jnp.float32
+    cam = Camera()
+    p = pool
+
+    sph = dev["spheres"]
+    cx, cy, cz = megakernel._scene_planes(sph, "center")
+    sax, say, saz = megakernel._scene_planes(sph, "albedo")
+    sex, sey, sez = megakernel._scene_planes(sph, "emission")
+    smat = sph["material"]
+
+    if static.traversal == "chunks":
+        lo, hi = dev["wbvh_bounds"]
+    else:
+        lo = jnp.asarray([0.0, 0.0, 0.0], dtype)
+        hi = jnp.asarray([100.0, 82.0, 180.0], dtype)  # cornell box extent
+
+    def fresh(sidx, count_key):
+        o3, d3, pixel, _ = _sample_camera_rays(
+            sidx, width, height, spp4, count_key, cam, dtype
+        )
+        return o3, d3, pixel, sidx < total
+
+    key0 = key
+    o3, d3, pixel, valid = fresh(jnp.arange(p), key0)
+    tput = tuple(jnp.ones((p,), dtype) for _ in range(3))
+    rad = tuple(jnp.zeros((p,), dtype) for _ in range(3))
+    depth = jnp.zeros((p,), jnp.int32)
+    alive = valid
+    image = jnp.zeros((n_pix, 3), dtype)
+    next_sample = jnp.asarray(p, jnp.int32)
+
+    def cond(st):
+        return jnp.any(st[0])
+
+    def body(st):
+        (alive, o3, d3, pixel, tput, rad, depth, image, next_sample, key) = st
+        key, k1 = jax.random.split(key)
+        u = jax.random.uniform(k1, (3, p), dtype=dtype)
+
+        st_, shit, smiss = megakernel.default_hit_fn(o3, d3, sph, eps)
+        tt, thit, tmiss, tattrs = mesh_mod._mesh_hit(
+            o3, d3, dev, eps, static, sort=False
+        )
+        use_tri = tt < st_
+        tmin = jnp.where(use_tri, tt, st_)
+        miss = smiss & tmiss
+        live = alive & ~miss
+        shit = jnp.where(smiss, 0, shit)
+
+        hp = (o3[0] + d3[0] * tmin, o3[1] + d3[1] * tmin, o3[2] + d3[2] * tmin)
+        s_chit = (select_by_id(shit, cx), select_by_id(shit, cy),
+                  select_by_id(shit, cz))
+        s_nrm = shade.v3_normalize(shade.v3_sub(hp, s_chit))
+        if tattrs is not None:
+            t_nrm = tattrs[0:3]
+            t_alb = tattrs[3:6]
+            t_emi = tattrs[6:9]
+            t_is_diff = tattrs[9] > 0.5
+            t_is_refr = tattrs[10] > 0.5
+        else:
+            t_nrm = tuple(pl_[thit] for pl_ in dev["fnormal"])
+            t_alb = tuple(pl_[thit] for pl_ in dev["f_albedo"])
+            t_emi = tuple(pl_[thit] for pl_ in dev["f_emission"])
+            t_is_diff = dev["f_material"][thit] == _DIFF
+            t_is_refr = dev["f_material"][thit] == _REFR
+        nrm = shade.v3_where(use_tri, t_nrm, s_nrm)
+        dn = shade.v3_dot(d3, nrm)
+        into = dn < 0
+        nl = shade.v3_scale(nrm, jnp.where(into, 1.0, -1.0))
+
+        emit_s = (select_by_id(shit, sex), select_by_id(shit, sey),
+                  select_by_id(shit, sez))
+        emit = shade.v3_where(use_tri, t_emi, emit_s)
+        rad = shade.v3_where(
+            live,
+            shade.v3_add(rad, (tput[0] * emit[0], tput[1] * emit[1],
+                               tput[2] * emit[2])),
+            rad,
+        )
+
+        alb_s = (select_by_id(shit, sax), select_by_id(shit, say),
+                 select_by_id(shit, saz))
+        alb = shade.v3_where(use_tri, t_alb, alb_s)
+        s_mat = select_by_id(shit, smat)
+        is_diff = jnp.where(use_tri, t_is_diff, s_mat == _DIFF)
+        is_refr = jnp.where(use_tri, t_is_refr, s_mat == _REFR)
+
+        d_diff = shade.cosine_sample_hemisphere(nl, u[0], u[1])
+        d_spec = shade.reflect(d3, nrm)
+        d_refr, refr_scale = shade.refract_or_reflect(d3, nrm, into, u[0])
+        new_d = shade.v3_where(
+            is_diff, d_diff, shade.v3_where(is_refr, d_refr, d_spec)
+        )
+        scale = jnp.where(is_refr, refr_scale, 1.0)
+        tput = shade.v3_where(
+            live,
+            (tput[0] * alb[0] * scale, tput[1] * alb[1] * scale,
+             tput[2] * alb[2] * scale),
+            tput,
+        )
+
+        depth = depth + jnp.where(live, 1, 0)
+        tput_rr, survive = shade.russian_roulette(tput, u[2])
+        do_rr = depth > rr_depth
+        tput = shade.v3_where(do_rr, tput_rr, tput)
+        continue_ray = live & (depth < bounces) & jnp.where(do_rr, survive, True)
+
+        off = jnp.where(is_refr, 0.0, eps)
+        new_o = shade.v3_add(hp, shade.v3_scale(nl, off))
+        o3 = shade.v3_where(live, new_o, o3)
+        d3 = shade.v3_where(live, new_d, d3)
+
+        died = alive & ~continue_ray
+        contrib = shade.v3_where(died, rad, (0.0 * rad[0],) * 3)
+        image = image.at[pixel].add(
+            jnp.stack(contrib, axis=1), mode="drop", unique_indices=False
+        )
+        alive = continue_ray
+
+        # ---- fused compaction (+ coherence) sort + regeneration ------
+        # ONE multi-operand lax.sort does compaction AND Morton
+        # grouping: key = dead-flag (bit 30) | 6-D direction+origin
+        # Morton code (30 bits).  Alive rays pack to the front in
+        # traversal-coherent order (what the chunk kernel converts into
+        # fewer per-tile chunk unions); 1-D gathers after an argsort
+        # would serialize on TPU (~16 ms vs ~2 ms at 65k, ops/sort.py).
+        if coherence_sort:
+            mkey = sort_mod.ray_sort_keys_6d(o3, d3, lo, hi)
+        else:
+            mkey = jnp.zeros((p,), jnp.int32)
+        skey = jnp.where(alive, mkey, mkey | (1 << 30))
+        (_, ox_, oy_, oz_, dx_, dy_, dz_, tr_, tg_, tb_, rr_, rg_, rb_,
+         pixel, depth) = jax.lax.sort(
+            (skey, *o3, *d3, *tput, *rad, pixel, depth), num_keys=1,
+            is_stable=True,
+        )
+        o3 = (ox_, oy_, oz_)
+        d3 = (dx_, dy_, dz_)
+        tput = (tr_, tg_, tb_)
+        rad = (rr_, rg_, rb_)
+        n_alive = jnp.sum(alive.astype(jnp.int32))
+        slot = jnp.arange(p)
+        alive = slot < n_alive
+        refill = ~alive
+        sidx = next_sample + (slot - n_alive).astype(jnp.int32)
+        f_o3, f_d3, f_pix, f_valid = fresh(sidx, key0)
+        o3 = shade.v3_where(refill, f_o3, o3)
+        d3 = shade.v3_where(refill, f_d3, d3)
+        tput = shade.v3_where(refill, (jnp.ones((p,), dtype),) * 3, tput)
+        rad = shade.v3_where(refill, (jnp.zeros((p,), dtype),) * 3, rad)
+        pixel = jnp.where(refill, f_pix, pixel)
+        depth = jnp.where(refill, 0, depth)
+        alive = jnp.where(refill, f_valid, alive)
+        next_sample = next_sample + jnp.sum(refill & f_valid, dtype=jnp.int32)
+
+        return (alive, o3, d3, pixel, tput, rad, depth, image, next_sample, key)
+
+    st = (alive, o3, d3, pixel, tput, rad, depth, image, next_sample, key)
+    st = jax.lax.while_loop(cond, body, st)
+    return st[7] / spp4
+
+
+def render_wavefront_mesh(
+    key,
+    mdev: dict,
+    *,
+    width: int,
+    height: int,
+    spp4: int,
+    pool: int = 1 << 18,
+    bounces: int = 8,
+    rr_depth: int = 5,
+    eps: float = 1e-4,
+    coherence_sort: bool = True,
+):
+    """Wavefront render of a sphere+MESH scene — compaction where it was
+    always supposed to matter (the round-1/2/3 ask): per-bounce work is
+    dominated by the chunked-BVH traversal, whose cost is the per-tile
+    UNION of visited chunks, so (a) dead lanes would still drag whole
+    chunk lists through VMEM in a masked megakernel, and (b) the fused
+    compaction+Morton sort hands the kernel coherent tiles every bounce.
+
+    ``mdev`` comes from mesh_scene_to_device (chunks traversal + attrs
+    carriers on TPU; jnp/brute elsewhere).  Returns per-pixel means
+    [W*H, 3].  The pool must be a multiple of the traversal tile (2048).
+    """
+    from ascendpathtracing_tpu.models import mesh as mesh_mod
+
+    if pool % 2048:
+        raise ValueError(f"{pool=} must be a multiple of 2048")
+    traced, static = mesh_mod._split_static(mdev)
+    return _render_wavefront_mesh_impl(
+        key, traced, width=width, height=height, spp4=spp4, pool=pool,
+        bounces=bounces, rr_depth=rr_depth, eps=eps, static=static,
+        coherence_sort=coherence_sort,
+    )

@@ -242,6 +242,13 @@ def _mesh_pt_kernel(
         inv_dy = 1.0 / jnp.where(dy == 0, 1e-30, dy)
         inv_dz = 1.0 / jnp.where(dz == 0, 1e-30, dz)
 
+        # dead lanes must not gate chunks in: their stale rays would keep
+        # dragging chunk lists through phase B for all remaining bounces
+        # (the reference drags dead rays by design, rt_helper.h:787-810 —
+        # here the worklist SHRINKS as paths terminate).  tmin < 0 makes
+        # every slab test fail for that lane (tnear >= 0 always).
+        tmin_gate = jnp.where(alive, tmin, f32(-1.0))
+
         def slab_bounded(box, i):
             # unlike the standalone kernel, a real tmin exists here
             # BEFORE the mesh walk (the spheres ran first): boxes
@@ -250,7 +257,7 @@ def _mesh_pt_kernel(
                 ox, oy, oz, inv_dx, inv_dy, inv_dz,
                 box(i, 0), box(i, 1), box(i, 2),
                 box(i, 3), box(i, 4), box(i, 5),
-                tmin,
+                tmin_gate,
             )
 
         k = wbvh.compact_worklist(

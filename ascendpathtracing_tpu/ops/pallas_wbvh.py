@@ -431,6 +431,7 @@ def _wbvh_kernel(
     boxes_flat,  # True: cboxes/sboxes are flat SMEM; False: [*, 6] VMEM
     tri_stride=TRI_F,
     with_attrs=False,  # also emit the winner's shading attributes
+    debug=False,  # per-tile worklist-length kernel_dump (device printf)
 ):
     """Refs (in order): cboxes, [sboxes], tris, rays, tmin_out, hit_out,
     [11 attr outs], flags (VMEM scratch), clist (SMEM), [slist (SMEM)],
@@ -482,6 +483,12 @@ def _wbvh_kernel(
         flags_ref, clist_ref, slist_ref, slab_idx, cbox, sbox,
         n_chunks=n_chunks, n_supers=n_supers, supers_per=supers_per,
     )
+    if debug:
+        # the rt_helper.h:17-48 DumpTensor analogue: per-tile worklist
+        # length is THE load-balance diagnostic for this kernel
+        from ascendpathtracing_tpu.utils.debug import kernel_dump
+
+        kernel_dump("wbvh tile worklist k", k, every_cell=True)
 
     # ---- phase B: precomputed-plane tri tests over listed chunks ------
     # With with_attrs, everything shading needs from the winning triangle
@@ -549,7 +556,7 @@ def _wbvh_kernel(
     jax.jit,
     static_argnames=(
         "tris_per_chunk", "supers_per", "eps", "tile", "residency",
-        "boxes_residency", "attrs", "interpret",
+        "boxes_residency", "attrs", "interpret", "debug",
     ),
 )
 def intersect_chunks_pallas(
@@ -566,6 +573,7 @@ def intersect_chunks_pallas(
     boxes_residency: str = "auto",  # auto | smem | vmem (force for tests)
     attrs: bool = False,
     interpret: bool = False,
+    debug: bool = False,  # device-side per-tile worklist dump
 ):
     """Chunked traversal over ray tiles.
 
@@ -616,6 +624,7 @@ def intersect_chunks_pallas(
         boxes_flat=boxes_flat,
         tri_stride=stride,
         with_attrs=attrs,
+        debug=debug,
     )
 
     inputs = []

@@ -11,8 +11,11 @@ inter-core communication.  Here parallelism is first-class (SURVEY §2.5):
   combined with an ``all_gather`` over ICI and a lexicographic
   (t, global index) reduction that preserves the reference's
   lowest-index tie-break.
-- **Gradient psum** over the whole mesh for the differentiable pass,
-  overlapped with the backward by XLA's latency-hiding scheduler.
+- **Gradient psum** over the whole mesh for the differentiable pass
+  (compiler-inserted; see benchmarks/artifacts/overlap_r3.json for the
+  HLO evidence and benchmarks/overlap_evidence.py for the async-
+  collective flags that let XLA's latency-hiding scheduler overlap it
+  with the backward on real slices).
 - **Multi-host**: ``jax.distributed.initialize`` + per-host data feeding
   (``distributed.py``).
 """

@@ -1,27 +1,32 @@
-"""Pipeline parallelism over the bounce dimension — a systolic RING.
+"""Ring parallelism over ICI — two systolic decompositions.
 
-The bounce loop is a depth-wise chain of identical stages, so it
-pipelines like layers of a network.  Rather than GPipe's inject/drain
-schedule (which kept the full ray array replicated on every stage — the
-round-1 version's flaw), rays are SHARDED across the 'stage' axis
-(``in_specs=P('stage')``) and the ray STATE rotates around the ring with
-``lax.ppermute``: at step s every device applies its ``bounces/S``-bounce
-chunk to whichever shard currently resides, then passes the state to the
-next stage.  After S steps each shard has passed every stage exactly once
-and is back on its home device, so outputs come out sharded ``P('stage')``
-with no gather.
+1. :func:`render_reference_pipelined` — pipeline over the BOUNCE
+   dimension.  Rays are SHARDED across the 'stage' axis
+   (``in_specs=P('stage')``) and the ray STATE rotates around the ring
+   with ``lax.ppermute``: at step s every device applies its
+   ``bounces/S``-bounce chunk to whichever shard currently resides.
+   After S steps each shard has passed every stage exactly once and is
+   home, so outputs come out sharded ``P('stage')`` with no gather and
+   no pipeline bubble.  Scene tables are REPLICATED on every stage —
+   this bounds the per-device RAY working set (N/S states), not the
+   scene.
 
-Per-device memory is N/S ray states + N/S outputs — PP genuinely bounds
-the working set (the "giant scene per stage" use case: each stage holds
-1/S of the scene tables and applies only its own chunk).  There is no
-pipeline bubble: stages are busy every step because every shard is always
-somewhere in the ring (the classic bubble exists only when microbatches
-must enter serially through stage 0).
+2. :func:`render_reference_ring_scene` — ring over the SCENE dimension
+   (the giant-scene use case; the same shape as ring-attention's
+   rotating KV blocks).  Each device keeps its ray shard AND holds only
+   1/S of the sphere tables; per bounce, the scene CHUNKS rotate around
+   the ring while per-ray (tmin, winner-id, winner-attribute) carriers
+   stay home and fold in each visiting chunk with the reference's exact
+   combine (lowest global index on real ties, rt_helper.h:183-193;
+   miss wraps to the LAST sphere, gen_data.py:313-321 — encoded as
+   highest-index tie-break at the miss sentinel).  The min-combine is
+   visit-order-independent, so the result is bit-identical to the
+   single-device render regardless of which chunk arrives when.  Moving
+   the scene instead of the rays costs S*(10*s/S) floats per bounce of
+   ICI traffic versus the rays' N/S*13 — for big scenes with modest ray
+   shards this is the bandwidth-optimal direction.
 
-Semantics are bit-identical to the single-device megakernel: every shard
-receives the same ``bounces`` applications of the same bounce body, and
-with identical per-stage scene tables the visit ORDER is immaterial
-(verified bit-for-bit in float64 by tests/test_pipeline.py).
+Both are verified bit-for-bit in float64 by tests/test_pipeline.py.
 """
 
 from __future__ import annotations
@@ -117,3 +122,137 @@ def render_reference_pipelined(
         check_vma=False,
     )
     return jax.jit(f)(rays, scene)
+
+
+def render_reference_ring_scene(
+    rays,
+    scene: dict,
+    mesh: Mesh,
+    *,
+    bounces: int = 8,
+    eps: float = 1e-4,
+    axis: str = "stage",
+):
+    """Reference-mode render with the SCENE sharded 1/S per device and
+    rotated around the ring (see module docstring, decomposition 2).
+
+    rays [N, 6] sharded P(axis); sphere tables sharded P(axis) on the
+    sphere axis.  N and the sphere count must divide by the stage count.
+    Returns colors [N, 3], sharded P(axis), bit-equal to
+    ``megakernel.render_reference``.
+    """
+    from ascendpathtracing_tpu.ops.intersect import (
+        MISS_T,
+        intersect_spheres_soa,
+    )
+
+    n = rays.shape[0]
+    n_stages = mesh.shape[axis]
+    s = scene["r2"].shape[0]
+    if n % n_stages:
+        raise ValueError(f"{n=} rays not divisible by {n_stages=} stages")
+    if s % n_stages:
+        raise ValueError(f"{s=} spheres not divisible by {n_stages=} stages")
+    s_local = s // n_stages
+    light = int(scene["light_index"])
+    dtype = rays.dtype
+    fwd = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+
+    def body(rays_sh, r2_l, center_l, albedo_l, emission_l):
+        o3, d3 = rays_to_soa(rays_sh)
+        m = o3[0].shape[0]
+        ones = jnp.ones((m,), dtype)
+        me = lax.axis_index(axis)
+
+        # the light's emission, broadcast from whichever stage holds it
+        has_light = (light >= me * s_local) & (light < (me + 1) * s_local)
+        row = jnp.clip(light - me * s_local, 0, s_local - 1)
+        emi = jnp.where(has_light, 1.0, 0.0) * lax.dynamic_index_in_dim(
+            emission_l, row, 0, keepdims=False
+        )
+        emi = lax.psum(emi, axis)
+
+        def bounce_body(_, st):
+            o3, d3, tput, alive = st
+            miss_t = jnp.asarray(MISS_T, dtype)
+            zeros = jnp.zeros((m,), dtype)
+            # rotating part: (scene chunk + its global base); resident
+            # part: per-ray winner carriers (t, global id, center xyz,
+            # albedo xyz)
+            ring = (r2_l, center_l, albedo_l,
+                    (me * s_local).astype(jnp.int32))
+            carry = (jnp.full((m,), jnp.inf, dtype),
+                     jnp.full((m,), -1, jnp.int32),
+                     zeros, zeros, zeros, zeros, zeros, zeros)
+
+            def ring_step(r, state):
+                (r2c, cenc, albc, base), (tmin, wgid, wcx, wcy, wcz,
+                                          wax, way, waz) = state
+                t = intersect_spheres_soa(
+                    *o3, *d3, cenc[:, 0], cenc[:, 1], cenc[:, 2], r2c, eps
+                )  # [s_local, m]
+                hit_l = jnp.argmin(t, axis=0).astype(jnp.int32)
+                tmin_l = jnp.min(t, axis=0)
+                miss_l = tmin_l >= miss_t
+                # reference miss-wrap: defaulted index = the LAST sphere
+                # (globally s-1) -> locally the chunk's last row, and the
+                # at-miss tie-break below keeps the highest global id
+                gid_attr = jnp.where(miss_l, s_local - 1, hit_l)
+                gid_g = base + gid_attr
+                at_miss = tmin_l >= miss_t
+                better = (tmin_l < tmin) | (
+                    (tmin_l == tmin)
+                    & jnp.where(at_miss, gid_g > wgid, gid_g < wgid)
+                )
+                sel = lambda tbl: jnp.take(tbl, gid_attr, axis=0)
+                cen_w = sel(cenc)
+                alb_w = sel(albc)
+                carry2 = (
+                    jnp.where(better, tmin_l, tmin),
+                    jnp.where(better, gid_g, wgid),
+                    jnp.where(better, cen_w[:, 0], wcx),
+                    jnp.where(better, cen_w[:, 1], wcy),
+                    jnp.where(better, cen_w[:, 2], wcz),
+                    jnp.where(better, alb_w[:, 0], wax),
+                    jnp.where(better, alb_w[:, 1], way),
+                    jnp.where(better, alb_w[:, 2], waz),
+                )
+                ring2 = jax.tree.map(
+                    lambda x: lax.ppermute(x, axis, fwd),
+                    (r2c, cenc, albc, base),
+                )
+                return ring2, carry2
+
+            _, carry = lax.fori_loop(0, n_stages, ring_step, (ring, carry))
+            tmin, wgid, wcx, wcy, wcz, wax, way, waz = carry
+            miss = tmin >= miss_t
+            # reference tmin flows through the specular bounce unclamped
+            # (the miss sentinel makes the hit point astronomically far,
+            # exactly like the single-device path)
+            tmin_b = jnp.where(miss, miss_t, tmin)
+            o3n, d3n = shade.specular_bounce(o3, d3, tmin_b, (wcx, wcy, wcz))
+            hit_light = (wgid == light) & ~miss
+            alive2 = alive & ~hit_light
+            tput2 = shade.v3_where(
+                alive2, (tput[0] * wax, tput[1] * way, tput[2] * waz), tput
+            )
+            return o3n, d3n, tput2, alive2
+
+        state = (o3, d3, (ones, ones, ones), jnp.ones((m,), bool))
+        state = lax.fori_loop(0, bounces, bounce_body, state, unroll=True)
+        tput = state[2]
+        return jnp.stack(
+            [tput[0] * emi[0], tput[1] * emi[1], tput[2] * emi[2]], axis=1
+        )
+
+    f = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis, None), P(axis, None),
+                  P(axis, None)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return jax.jit(f)(
+        rays, scene["r2"], scene["center"], scene["albedo"], scene["emission"]
+    )

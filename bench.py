@@ -69,13 +69,14 @@ def main(argv=None) -> int:
     p.add_argument(
         "--renderer",
         choices=["auto", "jit", "pallas", "pallas-pt", "wavefront",
-                 "pallas-mesh", "xla-mesh"],
+                 "pallas-mesh", "xla-mesh", "wavefront-mesh"],
         default="auto",
         help="pallas = hand-fused VMEM megakernel (reference mode, fwd "
         "only); wavefront = compaction renderer (pt mode, full frame); "
         "pallas-mesh = fully-fused sphere+mesh PT kernel; xla-mesh = "
         "the jit bounce-loop mesh renderer (same estimator, for the "
-        "fused-vs-XLA comparison)",
+        "fused-vs-XLA comparison); wavefront-mesh = pool compaction + "
+        "Morton coherence sort over the chunked traversal",
     )
     p.add_argument("--pool", type=int, default=1 << 19, help="wavefront ray pool")
     p.add_argument("--spp", type=int, default=64, help="wavefront samples/pixel")
@@ -117,7 +118,7 @@ def main(argv=None) -> int:
     params, aux = split_scene_params(scene)
     key = jax.random.PRNGKey(0)
 
-    if args.renderer in ("pallas-mesh", "xla-mesh"):
+    if args.renderer in ("pallas-mesh", "xla-mesh", "wavefront-mesh"):
         from ascendpathtracing_tpu.accel import meshes
         from ascendpathtracing_tpu.models import mesh as mesh_mod
 
@@ -149,6 +150,26 @@ def main(argv=None) -> int:
             label = "pallas-mesh fused"
             extra = {"tris": int(f.shape[0]), "chunks": grid.n_chunks,
                      "supers": grid.n_supers, "tile": args.tile}
+        elif args.renderer == "wavefront-mesh":
+            from ascendpathtracing_tpu.models import wavefront as wf_mod
+
+            spp4 = args.spp
+            total = w * h * spp4
+            mdev = mesh_mod.mesh_scene_to_device(
+                ms, pallas_bvh_kernel=(jax.default_backend() == "tpu"),
+                tris_per_chunk=args.chunk_tris,
+            )
+            key_w = jax.random.PRNGKey(0)
+
+            def run(i):
+                return wf_mod.render_wavefront_mesh(
+                    jax.random.fold_in(key_w, i), mdev, width=w, height=h,
+                    spp4=spp4, pool=args.pool, bounces=args.bounces,
+                    rr_depth=5,
+                )
+
+            label = "wavefront-mesh pool"
+            extra = {"tris": int(f.shape[0]), "pool": args.pool}
         else:
             # Same estimator through the XLA bounce loop + chunked
             # traversal kernel (models/mesh.py) — the comparison target

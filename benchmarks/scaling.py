@@ -29,6 +29,8 @@ def main(argv=None):
     p.add_argument("--bounces", type=int, default=5)
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--train", action="store_true", help="measure the train step too")
+    p.add_argument("--out", default=None,
+                   help="also write the summary JSON to this path")
     args = p.parse_args(argv)
 
     import jax
@@ -98,7 +100,17 @@ def main(argv=None):
         results.append(entry)
         print(json.dumps(entry), flush=True)
 
-    print(json.dumps({"backend": jax.default_backend(), "scaling": results}))
+    summary = {"backend": jax.default_backend(), "n_rays": int(rays.shape[0]),
+               "bounces": args.bounces, "scaling": results,
+               "note": ("virtual CPU devices measure sharding OVERHEAD "
+                        "(code-path validation), not ICI scaling"
+                        if jax.default_backend() == "cpu" else
+                        "real-device scaling")}
+    print(json.dumps(summary))
+    if args.out:
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as fh:
+            json.dump(summary, fh, indent=1)
     return 0
 
 

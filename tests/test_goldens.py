@@ -78,3 +78,35 @@ def test_renderer_close_to_golden():
         f"{offenders.sum()} flip-free pixels differ from golden "
         f"(flip fraction {flip_frac:.1%})"
     )
+
+
+def _mesh_gbuffer_image(w=32, h=32):
+    """Deterministic mesh-scene golden source: first-hit kind/depth/id
+    of the cube-in-Cornell scene, f64 brute force (no RNG, no BVH order
+    dependence), quantized to u8 — robust to last-ulp FP drift."""
+    import jax.numpy as jnp
+
+    from ascendpathtracing_tpu.accel import meshes
+    from ascendpathtracing_tpu.models import mesh as mesh_mod
+
+    v, f = meshes.cube(center=(50, 30, 60), size=25.0)
+    ms = mesh_mod.MeshScene.cornell_with_mesh(v, f, albedo=(0.8, 0.5, 0.2))
+    dev = mesh_mod.mesh_scene_to_device(ms, dtype=jnp.float64, use_bvh=False)
+    rays = camera.generate_rays_numpy(w, h, 1, seed=0)
+    tmin, kind, hid = mesh_mod.first_hit_mesh(jnp.asarray(rays), dev)
+    tmin = np.asarray(tmin)
+    kind = np.asarray(kind)
+    hid = np.asarray(hid)
+    depth = np.where(kind == 0, 0.0, np.clip(tmin / 300.0, 0.0, 1.0))
+    planes = np.stack([
+        kind.astype(np.float64) * (80.0 / 255.0),
+        depth,
+        (hid % 251).astype(np.float64) / 255.0,
+    ], axis=1)
+    return io.decode_color(planes, w, h, 1)
+
+
+def test_mesh_first_hit_matches_golden():
+    img = _mesh_gbuffer_image()
+    golden = io.read_ppm(os.path.join(GOLDEN_DIR, "mesh_cube_firsthit_32x32.ppm"))
+    np.testing.assert_array_equal(img, golden)

@@ -103,3 +103,50 @@ def test_chunks_kernel_grads_match_brute():
     da = np.asarray(jax.grad(lambda p: _depth_loss(p, rays, dev_c, faces))(params)["vertices"])
     db = np.asarray(jax.grad(lambda p: _depth_loss(p, rays, dev_b, faces))(params)["vertices"])
     np.testing.assert_allclose(da, db, atol=5e-3 * np.abs(db).max(), rtol=5e-2)
+
+
+def test_vertex_optimization_loop_with_rebuild_guard():
+    """The documented chunks-mode workflow (diff/mesh.py docstring +
+    VERDICT r2 item 10): optimize vertices against a depth target,
+    guarding each step with assert_tables_fresh and rebuilding the
+    device scene outside jit when the kernel tables go stale."""
+    import dataclasses
+
+    ms, dev, params, faces, rays = _setup("chunks", jnp.float32)
+    target = dmesh.depth_aov_params(rays, params, dev, faces) * 0.98
+
+    def loss_fn(p):
+        d = dmesh.depth_aov_params(rays, p, dev, faces)
+        m = jax.lax.stop_gradient((d < 1e19) & (target < 1e19)).astype(d.dtype)
+        return jnp.mean(((d - target) * m) ** 2)
+
+    grad_fn = jax.grad(loss_fn)
+    l0 = float(loss_fn(params))
+    rebuilds = 0
+    # lr and tol sized so the guard actually trips within a few
+    # iterations (measured drift ~5e-5 of the diagonal per step here)
+    lr = 2e-1
+    for _ in range(6):
+        g = grad_fn(params)
+        params = {**params,
+                  "vertices": params["vertices"] - lr * g["vertices"]}
+        try:
+            dmesh.assert_tables_fresh(params, dev, faces, tol=1e-4)
+        except dmesh.StaleKernelTablesError:
+            # the documented recovery: rebuild the packed kernel tables
+            # from the moved vertices, outside jit
+            ms2 = dataclasses.replace(
+                ms, vertices=np.asarray(params["vertices"], np.float64)
+            )
+            dev = mesh_mod.mesh_scene_to_device(ms2, pallas_bvh_kernel=True)
+            rebuilds += 1
+            assert dmesh.table_drift(params, dev, faces) < 1e-6
+    l1 = float(loss_fn(params))
+    assert np.isfinite(l1)
+    assert l1 < l0, (l0, l1)
+    assert rebuilds >= 1, "guard never tripped — test not exercising rebuild"
+
+
+def test_table_drift_zero_for_brute():
+    ms, dev, params, faces, rays = _setup("brute", jnp.float64)
+    assert dmesh.table_drift(params, dev, faces) == 0.0

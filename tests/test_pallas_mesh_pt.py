@@ -254,7 +254,7 @@ def test_superchunk_gating_bitwise_equal(setup):
 
 
 def test_pack_mesh_for_pt_matches_attr_rows(setup):
-    ms, _, _, _, _, grid = setup
+    ms, _, _, _, _, _, grid = setup
     rows = mpt.pack_mesh_for_pt(grid, ms)
     assert rows.shape == (grid.tris.shape[0], mpt.TRI_PT_F)
     np.testing.assert_array_equal(rows[:, :13], grid.tris)

@@ -1,6 +1,6 @@
-"""Pipeline-parallelism (ring pipeline over bounces) gates: must equal
-the single-device megakernel bit for bit (float64), with rays sharded
-P('stage') so per-device memory is N/stages."""
+"""Ring-parallelism gates: both decompositions (rays rotating over
+bounce stages; scene chunks rotating over ray shards) must equal the
+single-device megakernel bit for bit (float64)."""
 
 import jax
 import jax.numpy as jnp
@@ -10,7 +10,10 @@ from jax.sharding import Mesh
 
 from ascendpathtracing_tpu import camera, scenes
 from ascendpathtracing_tpu.models import megakernel
-from ascendpathtracing_tpu.parallel.pipeline import render_reference_pipelined
+from ascendpathtracing_tpu.parallel.pipeline import (
+    render_reference_pipelined,
+    render_reference_ring_scene,
+)
 
 
 @pytest.fixture(scope="module")
@@ -41,6 +44,42 @@ def test_pipelined_output_is_stage_sharded(setup):
     assert len(out.sharding.device_set) == stages
     shard_rows = {sh.data.shape[0] for sh in out.addressable_shards}
     assert shard_rows == {rays.shape[0] // stages}
+
+
+@pytest.mark.parametrize("stages", [2, 4, 8])
+def test_ring_scene_sharded_equals_megakernel(setup, stages):
+    """Scene tables sharded 1/S per stage and ROTATED around the ring
+    (the giant-scene decomposition): winner carriers must reproduce the
+    single-device render exactly, including the lowest-index tie-break
+    and the miss-wraps-to-last-sphere default (8 spheres / 8 stages puts
+    ONE sphere per device — the hardest carve)."""
+    if len(jax.devices()) < stages:
+        pytest.skip("not enough devices")
+    rays, scene, expect = setup
+    mesh = Mesh(np.asarray(jax.devices()[:stages]), ("stage",))
+    got = np.asarray(
+        render_reference_ring_scene(rays, scene, mesh, bounces=8)
+    )
+    np.testing.assert_array_equal(expect, got)
+
+
+def test_ring_scene_holds_shards_not_replicas(setup):
+    """The point of the scene ring: each device's resident scene block
+    is s/S rows (the in_specs are P('stage'), not P())."""
+    rays, scene, _ = setup
+    stages = min(4, len(jax.devices()))
+    mesh = Mesh(np.asarray(jax.devices()[:stages]), ("stage",))
+    out = render_reference_ring_scene(rays, scene, mesh, bounces=4)
+    assert len(out.sharding.device_set) == stages
+    shard_rows = {sh.data.shape[0] for sh in out.addressable_shards}
+    assert shard_rows == {rays.shape[0] // stages}
+
+
+def test_ring_scene_validates_divisibility(setup):
+    rays, scene, _ = setup
+    mesh = Mesh(np.asarray(jax.devices()[:3]), ("stage",))
+    with pytest.raises(ValueError, match="not divisible"):
+        render_reference_ring_scene(rays, scene, mesh, bounces=4)
 
 
 def test_pipelined_validates_divisibility(setup):
