@@ -79,7 +79,7 @@ class MeshScene:
 def mesh_scene_to_device(
     ms: MeshScene, dtype=jnp.float32, use_bvh=True, max_leaf=None,
     pallas_bvh_kernel=False, pallas_kernel: str = "chunks",
-    tris_per_chunk: int = 32, diff: bool = False,
+    tris_per_chunk: int = 16, diff: bool = False,
 ):
     """MeshScene -> device pytree + static traversal config.
 
@@ -105,8 +105,12 @@ def mesh_scene_to_device(
     f = np.asarray(ms.faces)
 
     if pallas_bvh_kernel and pallas_kernel == "chunks":
+        # T=16 + 16-chunk superchunk gating measured fastest on sorted
+        # divergent rays (r3 sweep: 93 vs 74-89 Mrays/s for the other
+        # (T, supers) corners at 5k tris); supers kick in once phase A's
+        # single-level slab unroll stops being trivial
         n_ch_est = -(-f.shape[0] // tris_per_chunk)
-        supers_per = 64 if n_ch_est >= 512 else 0
+        supers_per = 16 if n_ch_est >= 128 else 0
         grid = wbvh_mod.build_chunk_grid(
             v, f, tris_per_chunk=tris_per_chunk, supers_per=supers_per
         )
@@ -340,6 +344,7 @@ def first_hit_mesh_impl(rays, dev, *, eps=1e-4, static=StaticConf("brute", 0, 0,
 def render_pt_mesh_impl(
     key, rays, dev, *, bounces: int = 8, rr_depth: int = 5, eps: float = 1e-4,
     static: StaticConf = StaticConf("brute", 0, 0, 0), uniforms=None,
+    sort_per_bounce: bool = False,
 ):
     """smallpt estimator over spheres + mesh. Same structure as
     megakernel.render_pt_impl with a two-way nearest-hit combine.
@@ -379,11 +384,15 @@ def render_pt_mesh_impl(
             u = uniforms[depth].astype(dtype)
 
         st, shit, smiss = megakernel.default_hit_fn(o3, d3, sph, eps)
-        # sort=False: with the attrs-carrier kernel a 4M-ray traversal is
-        # ~4-15 ms while ONE fused 14-operand sort is ~60 ms — per-bounce
-        # Morton sorting never pays anymore (it did for the lockstep
-        # kernel, whose unions were 5-10x costlier)
-        tt, thit, tmiss, tattrs = _mesh_hit(o3, d3, dev, eps, static, sort=False)
+        # sort_per_bounce trades one fused multi-operand sort per bounce
+        # for coherent traversal tiles.  On DIVERGENT bounced rays the
+        # traversal dominates (r3 measured ~100 ms per 4M-ray bounce at
+        # 5k tris, not the ~10 ms an earlier coherent-ray measurement
+        # suggested), so sorting can pay — benchmark per workload
+        # (bench.py --renderer xla-mesh)
+        tt, thit, tmiss, tattrs = _mesh_hit(
+            o3, d3, dev, eps, static, sort=sort_per_bounce
+        )
         use_tri = tt < st
         tmin = jnp.where(use_tri, tt, st)
         miss = smiss & tmiss
@@ -459,7 +468,8 @@ def render_pt_mesh_impl(
 
 _render_pt_mesh_jit = jax.jit(
     render_pt_mesh_impl,
-    static_argnames=("bounces", "rr_depth", "eps", "static"),
+    static_argnames=("bounces", "rr_depth", "eps", "static",
+                     "sort_per_bounce"),
 )
 _first_hit_mesh_jit = jax.jit(
     first_hit_mesh_impl, static_argnames=("eps", "static")

@@ -193,16 +193,27 @@ def render_wavefront(
         alive = continue_ray
 
         # ---- compaction + regeneration -------------------------------
+        # ONE fused multi-operand lax.sort on the dead flag (same idiom
+        # as the mesh wavefront): alive rays pack to the front with no
+        # per-array gathers — argsort + 13 gathers was both slower
+        # (serialized 1-D gathers) and the site of a TPU runtime crash
+        # (r3: the argsort+gather program killed the worker at any pool
+        # size while the fused-sort program runs fine).
         if compact:
-            perm = jnp.argsort(~alive, stable=True)
-            gather = lambda t: tuple(c[perm] for c in t)  # noqa: E731
-            o3, d3, tput, rad = gather(o3), gather(d3), gather(tput), gather(rad)
-            pixel = pixel[perm]
-            depth = depth[perm]
-            alive = alive[perm]
+            skey = jnp.where(alive, jnp.int32(0), jnp.int32(1))
+            (_, ox_, oy_, oz_, dx_, dy_, dz_, tr_, tg_, tb_, rr_, rg_,
+             rb_, pixel, depth) = jax.lax.sort(
+                (skey, *o3, *d3, *tput, *rad, pixel, depth), num_keys=1,
+                is_stable=True,
+            )
+            o3 = (ox_, oy_, oz_)
+            d3 = (dx_, dy_, dz_)
+            tput = (tr_, tg_, tb_)
+            rad = (rr_, rg_, rb_)
             n_alive = jnp.sum(alive.astype(jnp.int32))
             slot = jnp.arange(p)
-            refill = slot >= n_alive
+            alive = slot < n_alive
+            refill = ~alive
             sidx = next_sample + (slot - n_alive).astype(jnp.int32)
             f_o3, f_d3, f_pix, f_valid = fresh(sidx, key0)
             o3 = shade.v3_where(refill, f_o3, o3)
@@ -226,7 +237,7 @@ def render_wavefront(
     jax.jit,
     static_argnames=(
         "width", "height", "spp4", "pool", "bounces", "rr_depth", "eps",
-        "static", "coherence_sort",
+        "static", "coherence_sort", "sort_every",
     ),
 )
 def _render_wavefront_mesh_impl(
@@ -242,6 +253,7 @@ def _render_wavefront_mesh_impl(
     eps: float,
     static,
     coherence_sort: bool,
+    sort_every: int,
 ):
     from ascendpathtracing_tpu.models import mesh as mesh_mod
     from ascendpathtracing_tpu.ops import sort as sort_mod
@@ -277,20 +289,33 @@ def _render_wavefront_mesh_impl(
     rad = tuple(jnp.zeros((p,), dtype) for _ in range(3))
     depth = jnp.zeros((p,), jnp.int32)
     alive = valid
+    # NOTE r3: a standalone microbench showed 3 x 1-D scatter-adds 12x
+    # faster than one [N, 3] scatter, but IN-GRAPH the [N, 3] form gets a
+    # kCustom fused lowering that measured ~10%% faster end-to-end — keep
+    # the fused form; re-check if the scatter lowering changes.
     image = jnp.zeros((n_pix, 3), dtype)
     next_sample = jnp.asarray(p, jnp.int32)
 
     def cond(st):
-        return jnp.any(st[0])
+        # off-iterations (sort_every > 1) may briefly leave the pool
+        # all-dead while samples remain unseeded — keep going until the
+        # stream is exhausted AND the pool drains
+        return jnp.any(st[0]) | (st[8] < total)
 
     def body(st):
-        (alive, o3, d3, pixel, tput, rad, depth, image, next_sample, key) = st
+        (alive, o3, d3, pixel, tput, rad, depth, image, next_sample, key,
+         it) = st
         key, k1 = jax.random.split(key)
         u = jax.random.uniform(k1, (3, p), dtype=dtype)
 
-        st_, shit, smiss = megakernel.default_hit_fn(o3, d3, sph, eps)
+        # dead lanes must not drag chunk unions through the traversal:
+        # park them on a ray that misses every box immediately (origin
+        # far outside, direction away — tfar < 0 fails every slab)
+        o3m = tuple(jnp.where(alive, c, dtype(1e7)) for c in o3)
+        d3m = tuple(jnp.where(alive, c, dtype(1.0)) for c in d3)
+        st_, shit, smiss = megakernel.default_hit_fn(o3m, d3m, sph, eps)
         tt, thit, tmiss, tattrs = mesh_mod._mesh_hit(
-            o3, d3, dev, eps, static, sort=False
+            o3m, d3m, dev, eps, static, sort=False
         )
         use_tri = tt < st_
         tmin = jnp.where(use_tri, tt, st_)
@@ -375,38 +400,59 @@ def _render_wavefront_mesh_impl(
         # traversal-coherent order (what the chunk kernel converts into
         # fewer per-tile chunk unions); 1-D gathers after an argsort
         # would serialize on TPU (~16 ms vs ~2 ms at 65k, ops/sort.py).
-        if coherence_sort:
-            mkey = sort_mod.ray_sort_keys_6d(o3, d3, lo, hi)
+        # With sort_every > 1 the sort/refill runs on every k-th round
+        # only — dead lanes idle briefly (parked on the instant-miss ray
+        # above, so they cost nothing in the traversal) and the sort +
+        # camera-regen overheads amortize over k bounces.
+        def compact(carry):
+            alive, o3, d3, pixel, tput, rad, depth, next_sample = carry
+            if coherence_sort:
+                mkey = sort_mod.ray_sort_keys_6d(o3, d3, lo, hi)
+            else:
+                mkey = jnp.zeros((p,), jnp.int32)
+            skey = jnp.where(alive, mkey, mkey | (1 << 30))
+            (_, ox_, oy_, oz_, dx_, dy_, dz_, tr_, tg_, tb_, rr_, rg_,
+             rb_, pixel, depth) = jax.lax.sort(
+                (skey, *o3, *d3, *tput, *rad, pixel, depth), num_keys=1,
+                is_stable=True,
+            )
+            o3 = (ox_, oy_, oz_)
+            d3 = (dx_, dy_, dz_)
+            tput = (tr_, tg_, tb_)
+            rad = (rr_, rg_, rb_)
+            n_alive = jnp.sum(alive.astype(jnp.int32))
+            slot = jnp.arange(p)
+            alive = slot < n_alive
+            refill = ~alive
+            sidx = next_sample + (slot - n_alive).astype(jnp.int32)
+            f_o3, f_d3, f_pix, f_valid = fresh(sidx, key0)
+            o3 = shade.v3_where(refill, f_o3, o3)
+            d3 = shade.v3_where(refill, f_d3, d3)
+            tput = shade.v3_where(refill, (jnp.ones((p,), dtype),) * 3, tput)
+            rad = shade.v3_where(refill, (jnp.zeros((p,), dtype),) * 3, rad)
+            pixel = jnp.where(refill, f_pix, pixel)
+            depth = jnp.where(refill, 0, depth)
+            alive = jnp.where(refill, f_valid, alive)
+            next_sample = next_sample + jnp.sum(
+                refill & f_valid, dtype=jnp.int32
+            )
+            return (alive, o3, d3, pixel, tput, rad, depth, next_sample)
+
+        carry = (alive, o3, d3, pixel, tput, rad, depth, next_sample)
+        if sort_every == 1:
+            carry = compact(carry)
         else:
-            mkey = jnp.zeros((p,), jnp.int32)
-        skey = jnp.where(alive, mkey, mkey | (1 << 30))
-        (_, ox_, oy_, oz_, dx_, dy_, dz_, tr_, tg_, tb_, rr_, rg_, rb_,
-         pixel, depth) = jax.lax.sort(
-            (skey, *o3, *d3, *tput, *rad, pixel, depth), num_keys=1,
-            is_stable=True,
-        )
-        o3 = (ox_, oy_, oz_)
-        d3 = (dx_, dy_, dz_)
-        tput = (tr_, tg_, tb_)
-        rad = (rr_, rg_, rb_)
-        n_alive = jnp.sum(alive.astype(jnp.int32))
-        slot = jnp.arange(p)
-        alive = slot < n_alive
-        refill = ~alive
-        sidx = next_sample + (slot - n_alive).astype(jnp.int32)
-        f_o3, f_d3, f_pix, f_valid = fresh(sidx, key0)
-        o3 = shade.v3_where(refill, f_o3, o3)
-        d3 = shade.v3_where(refill, f_d3, d3)
-        tput = shade.v3_where(refill, (jnp.ones((p,), dtype),) * 3, tput)
-        rad = shade.v3_where(refill, (jnp.zeros((p,), dtype),) * 3, rad)
-        pixel = jnp.where(refill, f_pix, pixel)
-        depth = jnp.where(refill, 0, depth)
-        alive = jnp.where(refill, f_valid, alive)
-        next_sample = next_sample + jnp.sum(refill & f_valid, dtype=jnp.int32)
+            carry = jax.lax.cond(
+                jax.lax.rem(it, jnp.int32(sort_every)) == sort_every - 1,
+                compact, lambda c: c, carry,
+            )
+        (alive, o3, d3, pixel, tput, rad, depth, next_sample) = carry
 
-        return (alive, o3, d3, pixel, tput, rad, depth, image, next_sample, key)
+        return (alive, o3, d3, pixel, tput, rad, depth, image, next_sample,
+                key, it + 1)
 
-    st = (alive, o3, d3, pixel, tput, rad, depth, image, next_sample, key)
+    st = (alive, o3, d3, pixel, tput, rad, depth, image, next_sample, key,
+          jnp.int32(0))
     st = jax.lax.while_loop(cond, body, st)
     return st[7] / spp4
 
@@ -423,6 +469,7 @@ def render_wavefront_mesh(
     rr_depth: int = 5,
     eps: float = 1e-4,
     coherence_sort: bool = True,
+    sort_every: int = 1,
 ):
     """Wavefront render of a sphere+MESH scene — compaction where it was
     always supposed to matter (the round-1/2/3 ask): per-bounce work is
@@ -443,5 +490,5 @@ def render_wavefront_mesh(
     return _render_wavefront_mesh_impl(
         key, traced, width=width, height=height, spp4=spp4, pool=pool,
         bounces=bounces, rr_depth=rr_depth, eps=eps, static=static,
-        coherence_sort=coherence_sort,
+        coherence_sort=coherence_sort, sort_every=sort_every,
     )

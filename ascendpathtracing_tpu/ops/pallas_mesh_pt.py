@@ -60,17 +60,18 @@ def pack_mesh_for_pt(grid: wbvh.ChunkGrid, ms) -> np.ndarray:
     )
 
 
-def mesh_pt_tables(ms, *, tris_per_chunk: int = 32, supers_per: int | None = None):
+def mesh_pt_tables(ms, *, tris_per_chunk: int = 16, supers_per: int | None = None):
     """MeshScene -> everything :func:`render_pt_mesh_pallas` needs.
 
     Returns (scene_planes [10, S] f32, cboxes [C, 6], sboxes [Cs, 6],
     tris24 [C*T, TRI_PT_F], materials tuple, grid).  ``supers_per`` auto
-    defaults like models/mesh.py: 64 once the chunk count reaches 512.
+    defaults like models/mesh.py: 16 once the chunk count reaches 128
+    (the r3 sweep winner on divergent rays).
     """
     faces = np.asarray(ms.faces)
     if supers_per is None:
         n_ch_est = -(-faces.shape[0] // tris_per_chunk)
-        supers_per = 64 if n_ch_est >= 512 else 0
+        supers_per = 16 if n_ch_est >= 128 else 0
     grid = wbvh.build_chunk_grid(
         ms.vertices, faces, tris_per_chunk=tris_per_chunk,
         supers_per=supers_per,
@@ -525,9 +526,11 @@ def render_pt_mesh_pallas(
     box_bytes = (c + cs) * 6 * 4
     tri_bytes = ct * TRI_PT_F * 4
     if residency == "auto":
+        # 4MB vmem cap, matching pallas_wbvh: the kernel's u_scratch +
+        # flags + output blocks share the 16MB scoped VMEM budget
         if box_bytes + tri_bytes <= 512 * 1024:
             residency = "smem"
-        elif tri_bytes <= 8 * 1024 * 1024:
+        elif tri_bytes <= 4 * 1024 * 1024:
             residency = "vmem"
         else:
             residency = "hbm"

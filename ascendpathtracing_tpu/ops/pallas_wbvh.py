@@ -602,9 +602,13 @@ def intersect_chunks_pallas(
     box_bytes = (c + cs) * 6 * 4
     tri_bytes = ct * stride * 4
     if residency == "auto":
+        # vmem cap is 4MB, not the full 16MB scoped budget: with
+        # attrs=True the kernel also holds 13 double-buffered output
+        # blocks + rays + flags in VMEM (an 8MB table at tile=2048
+        # measured 40.2MB scoped -> compile OOM)
         if box_bytes + tri_bytes <= 512 * 1024:
             residency = "smem"
-        elif tri_bytes <= 8 * 1024 * 1024:
+        elif tri_bytes <= 4 * 1024 * 1024:
             residency = "vmem"
         else:
             residency = "hbm"

@@ -114,6 +114,7 @@ def benchmark_fit(
     warmup: int = 2,
     agree: float = 0.05,
     max_rounds: int = 4,
+    max_seconds: float = 180.0,
 ):
     """Two-point-fit timing: separates the TRUE per-step device time from
     the fixed per-batch overhead (fence RTT + first-dispatch latency +
@@ -128,6 +129,11 @@ def benchmark_fit(
     repeats until two consecutive slope estimates agree within
     ``agree`` (default 5% — the VERDICT r2 reproducibility gate),
     doubling ``k`` on disagreement; the result is their mean.
+
+    ``max_seconds`` bounds the total measuring time: once exceeded, the
+    current pair's estimate is returned (rel_spread reports whatever
+    agreement was reached) instead of doubling again — slow steps
+    (multi-second renders) would otherwise grow the pair geometrically.
 
     Returns dict: step_s, overhead_s, rel_spread, iters, rounds,
     fenced_batches (list of (k, seconds) actually measured).
@@ -155,6 +161,7 @@ def benchmark_fit(
     slope = overhead = 0.0
     rel = float("inf")
     rounds = 0
+    t_begin = time.perf_counter()
     for rounds in range(1, max_rounds + 1):
         t1 = batch(k)
         t2 = batch(3 * k)
@@ -168,6 +175,8 @@ def benchmark_fit(
                 break
             k *= 2
         prev_slope = slope
+        if time.perf_counter() - t_begin > max_seconds:
+            break
     return {
         "step_s": slope,
         "overhead_s": overhead,

@@ -84,7 +84,7 @@ def main(argv=None) -> int:
     p.add_argument("--subdiv", type=int, default=4,
                    help="mesh renderers: icosphere subdivisions "
                    "(tris = 20*4^s: 4 -> 5120, 5 -> 20480, 6 -> 81920)")
-    p.add_argument("--chunk-tris", type=int, default=32,
+    p.add_argument("--chunk-tris", type=int, default=16,
                    help="mesh renderers: triangles per BVH chunk")
     p.add_argument("--fwd-only", action="store_true")
     args = p.parse_args(argv)

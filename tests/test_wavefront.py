@@ -126,3 +126,26 @@ def test_wavefront_mesh_pool_size_consistency():
     ]
     ratio = imgs[0].mean() / max(imgs[1].mean(), 1e-9)
     assert 0.8 < ratio < 1.25, ratio
+
+
+def test_wavefront_mesh_sort_every_energy_invariant():
+    """Deferring compaction (sort_every=2) must not change total energy
+    beyond RNG noise — samples are neither dropped nor double-counted."""
+    from ascendpathtracing_tpu.accel import meshes as mesh_lib
+    from ascendpathtracing_tpu.models import mesh as mesh_mod
+
+    v, f = mesh_lib.cube(center=(50, 30, 60), size=30.0)
+    ms = mesh_mod.MeshScene.cornell_with_mesh(v, f, albedo=(0.85, 0.55, 0.2))
+    mdev = mesh_mod.mesh_scene_to_device(ms, use_bvh=False)
+    imgs = [
+        np.asarray(
+            wavefront.render_wavefront_mesh(
+                jax.random.PRNGKey(7), mdev, width=8, height=8, spp4=32,
+                pool=2048, bounces=4, sort_every=se,
+            )
+        )
+        for se in (1, 2, 3)
+    ]
+    for img in imgs[1:]:
+        ratio = imgs[0].mean() / max(img.mean(), 1e-9)
+        assert 0.8 < ratio < 1.25, ratio
