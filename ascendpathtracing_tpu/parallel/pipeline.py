@@ -256,3 +256,186 @@ def render_reference_ring_scene(
     return jax.jit(f)(
         rays, scene["r2"], scene["center"], scene["albedo"], scene["emission"]
     )
+
+
+def render_pt_ring_scene(
+    key,
+    rays,
+    scene: dict,
+    mesh: Mesh,
+    *,
+    bounces: int = 8,
+    rr_depth: int = 5,
+    eps: float = 1e-4,
+    axis: str = "stage",
+):
+    """FULL path-tracing estimator (diffuse/mirror/glass + Russian
+    roulette — megakernel.render_pt semantics) with the scene sharded
+    1/S per device and rotated around the ring.
+
+    Extends :func:`render_reference_ring_scene` to the PT shading model:
+    the rotating nearest-hit carry additionally transports the winner's
+    emission and material one-hots, and shading runs locally per shard.
+    The per-bounce uniform stream is drawn ONCE at global size from
+    ``key`` — replicating render_pt_impl's split sequence exactly — and
+    sharded with the rays, so the result is BITWISE-EQUAL to the
+    single-device render (tests/test_pipeline.py).  Miss-lane carrier
+    values are immaterial: every consumer is ``live``-gated, exactly as
+    in the single-device body.
+    """
+    from ascendpathtracing_tpu.ops.intersect import (
+        MISS_T,
+        intersect_spheres_soa,
+    )
+    from ascendpathtracing_tpu.scenes import DIFF, REFR
+
+    n = rays.shape[0]
+    n_stages = mesh.shape[axis]
+    s = scene["r2"].shape[0]
+    if n % n_stages:
+        raise ValueError(f"{n=} rays not divisible by {n_stages=} stages")
+    if s % n_stages:
+        raise ValueError(f"{s=} spheres not divisible by {n_stages=} stages")
+    s_local = s // n_stages
+    dtype = rays.dtype
+    fwd = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+
+    # the exact uniform sequence render_pt_impl would draw
+    ks = []
+    k = key
+    for _ in range(bounces):
+        k, k1 = jax.random.split(k)
+        ks.append(k1)
+    u_all = jnp.stack(
+        [jax.random.uniform(k1, (3, n), dtype=dtype) for k1 in ks]
+    )  # [bounces, 3, N]
+
+    def body(rays_sh, u_sh, r2_l, center_l, albedo_l, emission_l, mat_l):
+        o3, d3 = rays_to_soa(rays_sh)
+        m = o3[0].shape[0]
+        me = lax.axis_index(axis)
+        zeros = jnp.zeros((m,), dtype)
+        ones = jnp.ones((m,), dtype)
+        miss_t = jnp.asarray(MISS_T, dtype)
+
+        def bounce_body(depth, st):
+            o3, d3, rad, tput, alive = st
+            u = u_sh[depth]
+
+            ring = (r2_l, center_l, albedo_l, emission_l, mat_l,
+                    (me * s_local).astype(jnp.int32))
+            carry = (
+                jnp.full((m,), jnp.inf, dtype),         # tmin
+                jnp.full((m,), -1, jnp.int32),          # wgid
+                zeros, zeros, zeros,                    # center
+                zeros, zeros, zeros,                    # albedo
+                zeros, zeros, zeros,                    # emission
+                jnp.zeros((m,), bool),                  # is_diff
+                jnp.zeros((m,), bool),                  # is_refr
+            )
+
+            def ring_step(r, state2):
+                (r2c, cenc, albc, emic, matc, base), (
+                    tmin, wgid, wcx, wcy, wcz, wax, way, waz, wex, wey,
+                    wez, wdf, wrf) = state2
+                t = intersect_spheres_soa(
+                    *o3, *d3, cenc[:, 0], cenc[:, 1], cenc[:, 2], r2c, eps
+                )
+                hit_l = jnp.argmin(t, axis=0).astype(jnp.int32)
+                tmin_l = jnp.min(t, axis=0)
+                gid_l = base + hit_l
+                # lowest global index on exact ties (matches jnp.argmin);
+                # miss lanes are live-gated downstream, any winner is fine
+                better = (tmin_l < tmin) | (
+                    (tmin_l == tmin) & (gid_l < wgid)
+                )
+                sel = lambda tbl: jnp.take(tbl, hit_l, axis=0)
+                cen_w = sel(cenc)
+                alb_w = sel(albc)
+                emi_w = sel(emic)
+                mat_w = sel(matc)
+                carry2 = (
+                    jnp.where(better, tmin_l, tmin),
+                    jnp.where(better, gid_l, wgid),
+                    jnp.where(better, cen_w[:, 0], wcx),
+                    jnp.where(better, cen_w[:, 1], wcy),
+                    jnp.where(better, cen_w[:, 2], wcz),
+                    jnp.where(better, alb_w[:, 0], wax),
+                    jnp.where(better, alb_w[:, 1], way),
+                    jnp.where(better, alb_w[:, 2], waz),
+                    jnp.where(better, emi_w[:, 0], wex),
+                    jnp.where(better, emi_w[:, 1], wey),
+                    jnp.where(better, emi_w[:, 2], wez),
+                    jnp.where(better, mat_w == DIFF, wdf),
+                    jnp.where(better, mat_w == REFR, wrf),
+                )
+                ring2 = jax.tree.map(
+                    lambda x: lax.ppermute(x, axis, fwd),
+                    (r2c, cenc, albc, emic, matc, base),
+                )
+                return ring2, carry2
+
+            _, carry = lax.fori_loop(0, n_stages, ring_step, (ring, carry))
+            (tmin, _wgid, wcx, wcy, wcz, wax, way, waz, wex, wey, wez,
+             is_diff, is_refr) = carry
+            miss = tmin >= miss_t
+            live = alive & ~miss
+
+            # shading: megakernel.render_pt_impl's body, carriers instead
+            # of select_by_id gathers
+            hp = (o3[0] + d3[0] * tmin, o3[1] + d3[1] * tmin,
+                  o3[2] + d3[2] * tmin)
+            nrm = shade.v3_normalize(shade.v3_sub(hp, (wcx, wcy, wcz)))
+            dn = shade.v3_dot(d3, nrm)
+            into = dn < 0
+            nl = shade.v3_scale(nrm, jnp.where(into, 1.0, -1.0))
+
+            rad = shade.v3_where(
+                live,
+                shade.v3_add(rad, (tput[0] * wex, tput[1] * wey,
+                                   tput[2] * wez)),
+                rad,
+            )
+
+            d_spec = shade.reflect(d3, nrm)
+            d_diff = shade.cosine_sample_hemisphere(nl, u[0], u[1])
+            d_refr, refr_scale = shade.refract_or_reflect(d3, nrm, into, u[0])
+            new_d = shade.v3_where(
+                is_diff, d_diff, shade.v3_where(is_refr, d_refr, d_spec)
+            )
+            scale = jnp.where(is_refr, refr_scale, 1.0)
+            tput2 = shade.v3_where(
+                live,
+                (tput[0] * wax * scale, tput[1] * way * scale,
+                 tput[2] * waz * scale),
+                tput,
+            )
+
+            tput_rr, survive = shade.russian_roulette(tput2, u[2])
+            do_rr = depth >= rr_depth
+            tput2 = shade.v3_where(do_rr, tput_rr, tput2)
+            alive2 = live & jnp.where(do_rr, survive, True)
+
+            off = jnp.where(is_refr, 0.0, eps)
+            new_o = shade.v3_add(hp, shade.v3_scale(nl, off))
+            o3 = shade.v3_where(live, new_o, o3)
+            d3 = shade.v3_where(live, new_d, d3)
+            return o3, d3, rad, tput2, alive2
+
+        st = (o3, d3, (zeros, zeros, zeros), (ones, ones, ones),
+              jnp.ones((m,), bool))
+        st = lax.fori_loop(0, bounces, bounce_body, st, unroll=True)
+        return jnp.stack(st[2], axis=1)
+
+    f = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis), P(None, None, axis), P(axis), P(axis, None),
+                  P(axis, None), P(axis, None), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return jax.jit(f)(
+        rays, u_all, scene["r2"], scene["center"], scene["albedo"],
+        scene["emission"], scene["material"],
+    )

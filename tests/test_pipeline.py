@@ -11,6 +11,7 @@ from jax.sharding import Mesh
 from ascendpathtracing_tpu import camera, scenes
 from ascendpathtracing_tpu.models import megakernel
 from ascendpathtracing_tpu.parallel.pipeline import (
+    render_pt_ring_scene,
     render_reference_pipelined,
     render_reference_ring_scene,
 )
@@ -73,6 +74,54 @@ def test_ring_scene_holds_shards_not_replicas(setup):
     assert len(out.sharding.device_set) == stages
     shard_rows = {sh.data.shape[0] for sh in out.addressable_shards}
     assert shard_rows == {rays.shape[0] // stages}
+
+
+@pytest.mark.parametrize("stages", [2, 4, 8])
+def test_pt_ring_scene_equals_megakernel(stages):
+    """The FULL PT estimator (diffuse/mirror/glass + RR) over the scene
+    ring: carriers transport emission + material one-hots, the uniform
+    stream is drawn once at global size and sharded with the rays —
+    bit-equal to megakernel.render_pt (8 spheres / 8 stages = one sphere
+    per device)."""
+    if len(jax.devices()) < stages:
+        pytest.skip("not enough devices")
+    rays = jnp.asarray(camera.generate_rays_numpy(16, 16, 1, seed=0))
+    scene = megakernel.scene_to_device(scenes.smallpt9(), dtype=jnp.float64)
+    key = jax.random.PRNGKey(11)
+    expect = np.asarray(
+        megakernel.render_pt(key, rays, scene, bounces=6, rr_depth=4)
+    )
+    # 9 smallpt spheres don't divide by the stage count — pad with
+    # never-hit spheres: r2 = -1 makes the discriminant b^2 - (|oc|^2+1)
+    # strictly negative for any ray (robust even to |d| != 1 rounding),
+    # so pads cannot win any nearest-hit combine
+    s = scene["r2"].shape[0]
+    s_pad = -(-s // stages) * stages
+    if s_pad != s:
+        padn = s_pad - s
+        scene = dict(
+            scene,
+            r2=jnp.concatenate(
+                [scene["r2"], jnp.full((padn,), -1.0, jnp.float64)]
+            ),
+            center=jnp.concatenate(
+                [scene["center"], jnp.zeros((padn, 3), jnp.float64)]
+            ),
+            albedo=jnp.concatenate(
+                [scene["albedo"], jnp.zeros((padn, 3), jnp.float64)]
+            ),
+            emission=jnp.concatenate(
+                [scene["emission"], jnp.zeros((padn, 3), jnp.float64)]
+            ),
+            material=jnp.concatenate(
+                [scene["material"], jnp.zeros((padn,), jnp.int32)]
+            ),
+        )
+    mesh = Mesh(np.asarray(jax.devices()[:stages]), ("stage",))
+    got = np.asarray(
+        render_pt_ring_scene(key, rays, scene, mesh, bounces=6, rr_depth=4)
+    )
+    np.testing.assert_array_equal(expect, got)
 
 
 def test_ring_scene_validates_divisibility(setup):
