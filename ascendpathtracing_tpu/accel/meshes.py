@@ -101,7 +101,7 @@ def transform(v, *, scale=1.0, rotate_y=0.0, translate=(0.0, 0.0, 0.0)):
     return v + np.asarray(translate, np.float64)
 
 
-def load_obj(path):
+def load_obj(path, *, native: str = "auto"):
     """Minimal Wavefront OBJ reader -> (vertices [V,3] f64, faces [F,3] i64).
 
     Supports ``v`` and ``f`` records; polygon faces are fan-triangulated;
@@ -109,7 +109,20 @@ def load_obj(path):
     tuples (only the vertex index is used — normals are recomputed by the
     renderer from geometry, and there is no texture pipeline, matching the
     reference's untextured scenes).  Ignores vt/vn/materials/groups.
+
+    ``native='auto'`` uses the C++ loader (native/obj_loader.cpp — same
+    parse semantics, tested identical) when the toolchain is available,
+    falling back to this Python parser; 'never' forces Python, 'always'
+    raises if the native path is unavailable.
     """
+    if native != "never":
+        from ascendpathtracing_tpu.accel import native as native_mod
+
+        try:
+            return native_mod.load_obj_native(path)
+        except native_mod.NativeUnavailable:
+            if native == "always":
+                raise
     verts: list = []
     tris: list = []
     with open(path) as fh:

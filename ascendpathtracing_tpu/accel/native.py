@@ -79,6 +79,20 @@ def _load() -> ctypes.CDLL:
             ctypes.c_char_p,  # out text buffer
             ctypes.c_int64,  # max_len
         ]
+        lib.apt_obj_count.restype = ctypes.c_int32
+        lib.apt_obj_count.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_long),
+            ctypes.POINTER(ctypes.c_long),
+        ]
+        lib.apt_obj_load.restype = ctypes.c_int32
+        lib.apt_obj_load.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_longlong),
+            ctypes.c_long,
+            ctypes.c_long,
+        ]
         _lib = lib
         return lib
 
@@ -158,3 +172,30 @@ def encode_ppm_native(planes, width: int, height: int, samples: int) -> str:
     if written < 0:
         raise RuntimeError("apt_encode_ppm: buffer too small")
     return buf.raw[:written].decode("ascii")
+
+
+def load_obj_native(path: str):
+    """C++ Wavefront-OBJ loader; same (vertices [V,3] f64, faces [F,3]
+    i64) contract and parse semantics as accel/meshes.load_obj (two-pass:
+    count, then fill caller-allocated buffers)."""
+    lib = _load()
+    pathb = os.fsencode(path)
+    nv = ctypes.c_long(0)
+    nt = ctypes.c_long(0)
+    if lib.apt_obj_count(pathb, ctypes.byref(nv), ctypes.byref(nt)):
+        raise RuntimeError(f"apt_obj_count failed for {path!r}")
+    if nv.value == 0 or nt.value == 0:
+        raise ValueError(f"no geometry in OBJ file {path!r}")
+    verts = np.empty((nv.value, 3), np.float64)
+    faces = np.empty((nt.value, 3), np.int64)
+    if lib.apt_obj_load(
+        pathb,
+        verts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        faces.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        nv.value,
+        nt.value,
+    ):
+        raise RuntimeError(f"apt_obj_load failed for {path!r}")
+    if faces.min() < 0 or faces.max() >= nv.value:
+        raise ValueError(f"face index out of range in {path!r}")
+    return verts, faces

@@ -67,3 +67,30 @@ def test_cli_renders_obj_mesh(tmp_path):
     assert rc == 0
     ppm = (tmp_path / "color.ppm").read_text().split()
     assert ppm[0] == "P3" and ppm[1] == "16" and ppm[2] == "16"
+
+
+def test_native_loader_matches_python(tmp_path):
+    """The C++ OBJ loader (native/obj_loader.cpp) must parse identically
+    to the Python reference parser, including polygons, vt/vn tuples and
+    negative indices; skips if the toolchain is unavailable."""
+    from ascendpathtracing_tpu.accel import native as native_mod
+
+    if not native_mod.is_available():
+        pytest.skip("native toolchain unavailable")
+
+    v, f = meshes.icosphere(radius=1.5, subdivisions=2)
+    p1 = tmp_path / "ico.obj"
+    meshes.save_obj(p1, v, f)
+    p2 = tmp_path / "mixed.obj"
+    p2.write_text(
+        "v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\n"
+        "f 1/1/1 2/2/1 3/3/1 4/4/1\n"
+        "f -4 -3 -2\n"
+        "v 2 2 2\n"
+        "f 1 2 5\n"
+    )
+    for p in (p1, p2):
+        vn, fn = meshes.load_obj(p, native="always")
+        vp, fp_ = meshes.load_obj(p, native="never")
+        np.testing.assert_array_equal(vn, vp)
+        np.testing.assert_array_equal(fn, fp_)
