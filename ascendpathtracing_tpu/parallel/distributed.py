@@ -14,13 +14,56 @@ exactly as XLA lays the mesh out (parallel/sharded.py).
 
 from __future__ import annotations
 
+import os
+import warnings
+
 import jax
 import numpy as np
 
 
+# Async collectives + the latency-hiding scheduler on real TPU slices.
+# These are what "grad all-reduce overlapped with backward" concretely
+# means: the collective lowers to a start/done pair and the scheduler
+# hoists independent backward compute between them.  They are LIBTPU
+# flags and must ride LIBTPU_INIT_ARGS — putting TPU-only flags in
+# XLA_FLAGS is a FATAL parse error on non-TPU plugins (measured:
+# "Unknown flags in XLA_FLAGS" crash on the CPU client).
+# Evidence harness: benchmarks/overlap_evidence.py.
+TPU_ASYNC_FLAGS = (
+    "--xla_tpu_enable_async_collective_fusion=true "
+    "--xla_tpu_enable_async_collective_fusion_fuse_all_gather=true "
+    "--xla_tpu_enable_async_collective_fusion_multiple_steps=true"
+)
+
+
+def apply_async_collective_flags() -> bool:
+    """Append :data:`TPU_ASYNC_FLAGS` to ``LIBTPU_INIT_ARGS`` — what
+    lets the scheduler overlap the gradient all-reduce with backward
+    compute on real slices.  Must run BEFORE libtpu initializes; returns
+    False (with a warning) when the backend is already up.  Idempotent;
+    a no-op for non-TPU runs (libtpu never reads the variable there)."""
+    cur = os.environ.get("LIBTPU_INIT_ARGS", "")
+    if "xla_tpu_enable_async_collective_fusion" in cur:
+        return True
+    backend_up = jax._src.xla_bridge._backends  # noqa: SLF001
+    if backend_up:
+        warnings.warn(
+            "XLA backend already initialized; async-collective flags not "
+            "applied — call initialize() before the first jax computation",
+            stacklevel=2,
+        )
+        return False
+    os.environ["LIBTPU_INIT_ARGS"] = (cur + " " + TPU_ASYNC_FLAGS).strip()
+    return True
+
+
 def initialize(coordinator_address=None, num_processes=None, process_id=None):
     """Initialize jax.distributed (no-op when single-process or already
-    initialized). Args default to the standard env-var autodetection."""
+    initialized). Args default to the standard env-var autodetection.
+
+    Also applies the async-collective XLA flags when the backend has not
+    started yet (see :func:`apply_async_collective_flags`)."""
+    apply_async_collective_flags()
     if jax.process_count() > 1:
         return  # already initialized
     try:

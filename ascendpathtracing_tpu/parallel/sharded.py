@@ -15,11 +15,12 @@ mesh, annotate shardings, let XLA insert collectives"):
    gradient all-reduce (verified from the optimized HLO:
    benchmarks/artifacts/overlap_r3.json, `grad_allreduce_count`).
    Overlap with the backward is the latency-hiding scheduler's job on
-   real TPU slices and needs the async-collective flags recorded in
-   benchmarks/overlap_evidence.py:TPU_ASYNC_FLAGS; one tunneled chip has
-   no ICI collectives to time, so that artifact records the HLO
-   structure (async start/done pairs + overlap-window size) for the
-   backend it ran on rather than asserting overlap as fact.
+   real TPU slices and needs the async-collective libtpu flags
+   (parallel/distributed.py:TPU_ASYNC_FLAGS, applied by
+   distributed.initialize); one tunneled chip has no ICI collectives to
+   time, so that artifact records the HLO structure (async start/done
+   pairs + overlap-window size) for the backend it ran on rather than
+   asserting overlap as fact.
 """
 
 from __future__ import annotations

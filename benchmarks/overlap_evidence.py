@@ -15,9 +15,11 @@ JSON artifact:
    the scheduler placed between start and done — the overlap window.
    On the CPU backend XLA typically lowers collectives synchronously;
    the artifact records whatever is true for the backend it ran on.
-3. The XLA flags that enable async collectives + latency-hiding on real
-   TPU pods (documented in ``TPU_ASYNC_FLAGS``; ``parallel/distributed.
-   initialize`` applies them when launching multi-host).
+3. The libtpu flags that enable async collectives + latency-hiding on
+   real TPU pods (``parallel/distributed.py:TPU_ASYNC_FLAGS``;
+   ``distributed.initialize`` appends them to LIBTPU_INIT_ARGS before
+   backend start — they must NOT go in XLA_FLAGS, where non-TPU plugins
+   fatal on the unknown names).
 
 Usage:
   XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
@@ -33,15 +35,12 @@ import os
 import re
 import sys
 
-# Flags that enable async collectives + the latency-hiding scheduler on
-# real TPU slices (harmless elsewhere).  These are what "overlapped with
-# backward" concretely means: the collective lowers to a start/done pair
-# and the scheduler hoists independent backward compute between them.
-TPU_ASYNC_FLAGS = (
-    "--xla_tpu_enable_async_collective_fusion=true "
-    "--xla_tpu_enable_async_collective_fusion_fuse_all_gather=true "
-    "--xla_tpu_enable_async_collective_fusion_multiple_steps=true "
-    "--xla_enable_async_all_reduce=true"
+# The canonical flag set lives in the library
+# (parallel/distributed.py:TPU_ASYNC_FLAGS, applied by
+# distributed.initialize on pod launches); re-exported here for the
+# artifact.
+from ascendpathtracing_tpu.parallel.distributed import (  # noqa: E402
+    TPU_ASYNC_FLAGS,
 )
 
 
@@ -130,8 +129,9 @@ def main(argv=None) -> int:
             "Single-chip TPU cannot time real ICI overlap; this artifact "
             "proves the GSPMD all-reduce exists in the optimized module "
             "and records the async start/done structure for the backend "
-            "it ran on.  On a pod slice, run with tpu_async_flags in "
-            "XLA_FLAGS and re-generate."
+            "it ran on.  On a pod slice, parallel.distributed.initialize "
+            "appends tpu_async_flags to LIBTPU_INIT_ARGS — re-generate "
+            "there for the hardware overlap-window numbers."
         ),
     }
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)

@@ -142,3 +142,19 @@ def test_sharded_grads_match_single_device():
         np.testing.assert_allclose(
             np.asarray(new1[k]), np.asarray(new_n[k]), rtol=1e-9, atol=1e-12
         )
+
+
+def test_async_collective_flags_refuse_after_backend_up(monkeypatch):
+    """LIBTPU_INIT_ARGS can only help before libtpu starts; once the
+    backend is up the helper must warn and refuse rather than silently
+    'apply' flags that cannot take effect.  (The flags ride
+    LIBTPU_INIT_ARGS, never XLA_FLAGS — unknown names there are a FATAL
+    parse error on non-TPU plugins.)"""
+    from ascendpathtracing_tpu.parallel import distributed
+
+    monkeypatch.delenv("LIBTPU_INIT_ARGS", raising=False)
+    with pytest.warns(UserWarning, match="already initialized"):
+        assert distributed.apply_async_collective_flags() is False
+    # idempotence: with the flags already present it reports success
+    monkeypatch.setenv("LIBTPU_INIT_ARGS", distributed.TPU_ASYNC_FLAGS)
+    assert distributed.apply_async_collective_flags() is True
