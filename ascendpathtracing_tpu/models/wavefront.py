@@ -7,11 +7,14 @@ per-bounce passes; dead rays are compacted out (stable sort on the alive
 mask) and their slots refilled with fresh camera samples generated
 on-device from the global sample counter.
 
-TPU notes (why this exists AND why the megakernel often wins there):
-lane-masking on the VPU costs only wasted lanes, so compaction pays off
-when per-bounce work is heavily divergent (large BVH scenes, expensive
-materials) or when the sample set vastly exceeds device memory as one
-batch.  Both renderers share ops/; bench.py measures both.  Sample
+TPU notes (why this exists AND why the megakernel usually wins there —
+r3 measurements, BASELINE.md): the wavefront pays a fixed ~50 ms per
+pool iteration (15-operand compaction sort + scatter-add + camera
+regen), so the fused megakernels beat it 188x on sphere scenes and
+~1.15x on meshes at every scale measured; it remains THE architecture
+when the sample set exceeds device memory as one batch
+(its pool streams an unbounded sample stream at fixed footprint).  Both
+renderers share ops/; bench.py measures all of them.  Sample
 accumulation uses one scatter-add per iteration (dying rays -> their
 pixel), the only scatter in the framework.
 

@@ -31,7 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 MISS_T = 1e20
-# 4096 measured fastest on v5e for both fwd (783 Mrays/s) and fwd+bwd
+# 4096 measured fastest on v5e for both fwd (1496 Mrays/s, r3 fit) and fwd+bwd
 # replay (572 Mrays/s) at 4M rays / 8 bounces; 2048 and 8192 are slower.
 DEFAULT_TILE = 4096
 
