@@ -176,6 +176,10 @@ def cmd_render(args) -> int:
     t_gen = time.time() - t0
 
     dev = megakernel.scene_to_device(scene)
+    if args.renderer == "wavefront" and args.mode != "pt":
+        print("error: --renderer wavefront is a path-tracing renderer "
+              "(use --mode pt)", file=sys.stderr)
+        return 2
     if args.renderer == "pallas" and mesh_scene is not None:
         # Fused sphere+mesh PT kernel preflight: hardware-only (the
         # interpreter has no TPU PRNG) — CPU falls back to the jit mesh
@@ -189,6 +193,13 @@ def cmd_render(args) -> int:
             print("error: mesh pallas renderer needs width*height "
                   "divisible by 1024", file=sys.stderr)
             return 2
+
+    def _expand_pixel_means(img3):
+        # per-pixel means -> replicated across the 4*s subsample slots so
+        # color.bin keeps its layout (decode averages them back)
+        return jax.numpy.repeat(
+            jax.numpy.asarray(img3).reshape(w * h, 1, 3), 4 * s, axis=1
+        ).reshape(w * h * 4 * s, 3)
 
     t0 = time.time()
     if args.renderer == "pallas" and mesh_scene is not None:
@@ -209,6 +220,31 @@ def cmd_render(args) -> int:
         colors = jax.numpy.repeat(
             img3.reshape(3, w * h, 1), 4 * s, axis=2
         ).reshape(3, w * h * 4 * s).T
+    elif args.renderer == "wavefront":
+        # pool streaming renderer (models/wavefront.py): per-pixel means
+        total_samples = w * h * 4 * s
+        pool = min(1 << 18, -(-total_samples // 2048) * 2048)
+        key = jax.random.PRNGKey(args.seed)
+        if mesh_scene is not None:
+            from ascendpathtracing_tpu.models import mesh as mesh_mod
+            from ascendpathtracing_tpu.models import wavefront as wf_mod
+
+            mdev = mesh_mod.mesh_scene_to_device(
+                mesh_scene,
+                pallas_bvh_kernel=(jax.default_backend() == "tpu"),
+            )
+            img3 = wf_mod.render_wavefront_mesh(
+                key, mdev, width=w, height=h, spp4=4 * s, pool=pool,
+                bounces=args.bounces,
+            )
+        else:
+            from ascendpathtracing_tpu.models import wavefront as wf_mod
+
+            img3 = wf_mod.render_wavefront(
+                key, dev, width=w, height=h, spp4=4 * s, pool=pool,
+                bounces=args.bounces,
+            )
+        colors = _expand_pixel_means(img3)
     elif args.renderer == "pallas":
         if args.mode != "reference":
             print("error: --renderer pallas supports --mode reference only",

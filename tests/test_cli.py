@@ -62,3 +62,22 @@ def test_train_and_resume(tmp_path):
                "--height", "8", "--bounces", "2", "--ckpt", ck, "--resume"])
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert "resumed from" in r2.stderr
+
+
+def test_cli_render_wavefront_renderer(tmp_path):
+    """--renderer wavefront routes pt scenes through the pool renderer
+    (sphere and mesh), and refuses reference mode."""
+    from ascendpathtracing_tpu import cli
+
+    rc = cli.main([
+        "render", "--width", "8", "--height", "8", "--samples", "1",
+        "--bounces", "3", "--mode", "pt", "--renderer", "wavefront",
+        "--backend", "cpu", "--out", str(tmp_path),
+    ])
+    assert rc == 0
+    assert (tmp_path / "color.ppm").read_text().startswith("P3")
+    rc = cli.main([
+        "render", "--width", "8", "--height", "8", "--renderer",
+        "wavefront", "--backend", "cpu", "--out", str(tmp_path),
+    ])
+    assert rc == 2
