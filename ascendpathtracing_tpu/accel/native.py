@@ -182,19 +182,26 @@ def load_obj_native(path: str):
     pathb = os.fsencode(path)
     nv = ctypes.c_long(0)
     nt = ctypes.c_long(0)
-    if lib.apt_obj_count(pathb, ctypes.byref(nv), ctypes.byref(nt)):
+    rc = lib.apt_obj_count(pathb, ctypes.byref(nv), ctypes.byref(nt))
+    if rc == 2:  # malformed token — mirror the Python parser's exception
+        raise ValueError(f"malformed token in OBJ file {path!r}")
+    if rc:
         raise RuntimeError(f"apt_obj_count failed for {path!r}")
     if nv.value == 0 or nt.value == 0:
         raise ValueError(f"no geometry in OBJ file {path!r}")
     verts = np.empty((nv.value, 3), np.float64)
     faces = np.empty((nt.value, 3), np.int64)
-    if lib.apt_obj_load(
+    rc = lib.apt_obj_load(
         pathb,
         verts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         faces.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
         nv.value,
         nt.value,
-    ):
+    )
+    if rc == 2:
+        raise ValueError(f"malformed token in OBJ file {path!r}")
+    if rc:
+        # IO error, or the file changed between the count and load passes
         raise RuntimeError(f"apt_obj_load failed for {path!r}")
     if faces.min() < 0 or faces.max() >= nv.value:
         raise ValueError(f"face index out of range in {path!r}")

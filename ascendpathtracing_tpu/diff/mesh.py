@@ -145,12 +145,23 @@ def table_drift(params, dev, faces) -> float:
     if static.traversal != "chunks":
         return 0.0
     v = np.asarray(params["vertices"], np.float64)
-    tri = v[np.asarray(faces)]
-    v0_new = np.stack([tri[:, 0, i] for i in range(3)], 1)
+    tri = v[np.asarray(faces)]  # [F, 3, 3] traced triangle vertices
     fos = np.asarray(dev["face_of_slot"])
     live = fos >= 0
-    v0_frozen = np.stack([np.asarray(p, np.float64) for p in dev["v0"]], 1)
-    delta = np.abs(v0_frozen[live] - v0_new[fos[live]]).max() if live.any() else 0.0
+    # frozen tables store v0/e1/e2 planes; reconstruct all THREE vertices
+    # — drift concentrated in v1/v2 (a vertex that never occupies the v0
+    # slot) must trip the guard too (ADVICE r3 medium #2)
+    v0_f = np.stack([np.asarray(p, np.float64) for p in dev["v0"]], 1)
+    e1_f = np.stack([np.asarray(p, np.float64) for p in dev["e1"]], 1)
+    e2_f = np.stack([np.asarray(p, np.float64) for p in dev["e2"]], 1)
+    if live.any():
+        t_new = tri[fos[live]]  # [L, 3, 3]
+        frozen = np.stack(
+            [v0_f[live], v0_f[live] + e1_f[live], v0_f[live] + e2_f[live]], 1
+        )
+        delta = np.abs(frozen - t_new).max()
+    else:
+        delta = 0.0
     lo, hi = (np.asarray(x, np.float64) for x in dev["wbvh_bounds"])
     diag = float(np.linalg.norm(hi - lo))
     return float(delta / max(diag, 1e-30))

@@ -246,9 +246,11 @@ def _mesh_pt_kernel(
         # dead lanes must not gate chunks in: their stale rays would keep
         # dragging chunk lists through phase B for all remaining bounces
         # (the reference drags dead rays by design, rt_helper.h:787-810 —
-        # here the worklist SHRINKS as paths terminate).  tmin < 0 makes
-        # every slab test fail for that lane (tnear >= 0 always).
-        tmin_gate = jnp.where(alive, tmin, f32(-1.0))
+        # here the worklist SHRINKS as paths terminate).  Gate with -inf:
+        # _slab_tmin's tnear is unclamped and can go below any finite
+        # bound when a stale origin sits deep inside a box, but
+        # tnear < -inf is never true (ADVICE r3 low #1).
+        tmin_gate = jnp.where(alive, tmin, f32(-jnp.inf))
 
         def slab_bounded(box, i):
             # unlike the standalone kernel, a real tmin exists here

@@ -135,8 +135,17 @@ def benchmark_fit(
     agreement was reached) instead of doubling again — slow steps
     (multi-second renders) would otherwise grow the pair geometrically.
 
+    A round whose slope comes out non-positive (timing noise made
+    ``t2 <= t1``) is INVALID: it is discarded and the pair size doubles
+    — a clamped 1e-12 slope must never become a headline number.  If the
+    loop exhausts without two consecutive slopes agreeing, ``fit_ok`` is
+    False and the result falls back to the last valid slope, or — when
+    no round ever produced a valid slope — to the conservative
+    single-batch estimate ``t2 / (3k)`` (which still contains the
+    per-batch overhead, i.e. an upper bound on the step time).
+
     Returns dict: step_s, overhead_s, rel_spread, iters, rounds,
-    fenced_batches (list of (k, seconds) actually measured).
+    fit_ok, fenced_batches (list of (k, seconds) actually measured).
     """
     out = None
     step_i = 0
@@ -158,31 +167,49 @@ def benchmark_fit(
     k = max(int(iters), 2)
     batches = []
     prev_slope = None
-    slope = overhead = 0.0
+    slope = None
+    overhead = 0.0
     rel = float("inf")
     rounds = 0
+    fit_ok = False
+    last_t2 = last_k = None
     t_begin = time.perf_counter()
     for rounds in range(1, max_rounds + 1):
         t1 = batch(k)
         t2 = batch(3 * k)
         batches += [(k, t1), (3 * k, t2)]
-        slope = max((t2 - t1) / (2 * k), 1e-12)
-        overhead = max(t1 - k * slope, 0.0)
+        last_t2, last_k = t2, k
+        raw = (t2 - t1) / (2 * k)
+        if raw <= 0.0:
+            # noise made t2 <= t1: this round proves nothing — discard it
+            # and retry with a larger pair (ADVICE r3 medium #1)
+            k *= 2
+            if time.perf_counter() - t_begin > max_seconds:
+                break
+            continue
+        overhead = max(t1 - k * raw, 0.0)
         if prev_slope is not None:
-            rel = abs(slope - prev_slope) / max(slope, prev_slope)
+            rel = abs(raw - prev_slope) / max(raw, prev_slope)
             if rel <= agree:
-                slope = (slope + prev_slope) / 2.0
+                slope = (raw + prev_slope) / 2.0
+                fit_ok = True
                 break
             k *= 2
-        prev_slope = slope
+        slope = raw
+        prev_slope = raw
         if time.perf_counter() - t_begin > max_seconds:
             break
+    if slope is None:
+        # every round was invalid: conservative upper bound (contains the
+        # per-batch overhead) rather than a fabricated slope
+        slope = last_t2 / (3 * last_k)
     return {
         "step_s": slope,
         "overhead_s": overhead,
         "rel_spread": rel if rel != float("inf") else None,
         "iters": k,
         "rounds": rounds,
+        "fit_ok": fit_ok,
         "fenced_batches": batches,
     }
 

@@ -54,6 +54,7 @@ def _fit_detail(fit):
             round(fit["rel_spread"], 4) if fit["rel_spread"] is not None else None
         ),
         "fit_iters": fit["iters"],
+        "fit_ok": fit["fit_ok"],
     }
 
 

@@ -52,8 +52,9 @@ def main(argv=None) -> int:
     p.add_argument("--chunk-tris", type=int, default=16)
     p.add_argument("--chunk-tile", type=int, default=1024)
     p.add_argument("--supers-per", default="auto",
-                   help="superchunk group size; 'auto' = 64 once the "
-                   "chunk count reaches 512 (models/mesh.py), 0 disables")
+                   help="superchunk group size; 'auto' = 16 once the "
+                   "chunk count reaches 128 (the models/mesh.py and "
+                   "mesh_pt_tables production rule), 0 disables")
     p.add_argument("--residency", default="auto",
                    choices=["auto", "smem", "vmem", "hbm"])
     args = p.parse_args(argv)
@@ -159,6 +160,7 @@ def main(argv=None) -> int:
             "overhead_ms": round(fit["overhead_s"] * 1e3, 2),
             "fit_rel_spread": (round(fit["rel_spread"], 4)
                                if fit["rel_spread"] is not None else None),
+            "fit_ok": fit["fit_ok"],
             **detail,
         }
         if sort_ms is not None:
@@ -213,8 +215,10 @@ def main(argv=None) -> int:
 
     if "chunks" in kernels:
         if args.supers_per == "auto":
+            # same rule as the production default (models/mesh.py and
+            # pallas_mesh_pt.mesh_pt_tables): 16 once chunks reach 128
             n_ch_est = -(-f.shape[0] // args.chunk_tris)
-            supers_per = 64 if n_ch_est >= 512 else 0
+            supers_per = 16 if n_ch_est >= 128 else 0
         else:
             supers_per = int(args.supers_per)
         grid = pallas_wbvh.build_chunk_grid(

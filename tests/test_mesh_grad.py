@@ -150,3 +150,25 @@ def test_vertex_optimization_loop_with_rebuild_guard():
 def test_table_drift_zero_for_brute():
     ms, dev, params, faces, rays = _setup("brute", jnp.float64)
     assert dmesh.table_drift(params, dev, faces) == 0.0
+
+
+def test_table_drift_sees_non_v0_vertices():
+    """Drift concentrated in a vertex that never occupies the v0 slot of
+    any face must still trip the guard (ADVICE r3 medium #2: the old
+    check compared only grid.tris[:, 0:3])."""
+    v = np.array(
+        [[0.0, 0.0, 0.0], [30.0, 0.0, 0.0], [30.0, 30.0, 0.0],
+         [0.0, 30.0, 0.0]]
+    ) + np.array([35.0, 25.0, 50.0])
+    f = np.array([[0, 1, 2], [0, 2, 3]])  # vertex 3 is only ever v2
+    assert 3 not in f[:, 0]
+    ms = mesh_mod.MeshScene.cornell_with_mesh(v, f, albedo=(0.6, 0.5, 0.4))
+    dev = mesh_mod.mesh_scene_to_device(ms, pallas_bvh_kernel=True)
+    params = dmesh.mesh_params(ms, jnp.float32)
+    faces = jnp.asarray(np.asarray(ms.faces))
+    assert dmesh.table_drift(params, dev, faces) < 1e-6
+    moved = np.asarray(params["vertices"]).copy()
+    moved[3] += 5.0  # big, unambiguous drift in a non-v0 vertex
+    params2 = {**params, "vertices": jnp.asarray(moved)}
+    d = dmesh.table_drift(params2, dev, faces)
+    assert d > 0.01, d

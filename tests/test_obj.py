@@ -94,3 +94,37 @@ def test_native_loader_matches_python(tmp_path):
         vp, fp_ = meshes.load_obj(p, native="never")
         np.testing.assert_array_equal(vn, vp)
         np.testing.assert_array_equal(fn, fp_)
+
+
+def test_native_loader_malformed_parity(tmp_path):
+    """Malformed tokens must ERROR in both parsers, not silently load
+    different geometry depending on which parser ran (ADVICE r3 low #2):
+    Python's int()/float() raise, so the C++ loader must too."""
+    from ascendpathtracing_tpu.accel import native as native_mod
+
+    if not native_mod.is_available():
+        pytest.skip("native toolchain unavailable")
+
+    cases = [
+        # trailing junk in a face index: int("2x") raises
+        "v 0 0 0\nv 1 0 0\nv 1 1 0\nf 1 2x 3\n",
+        # junk vertex coordinate: float("zz") raises
+        "v 0 0 zz\nv 1 0 0\nv 1 1 0\nf 1 2 3\n",
+        # empty index head: int("") raises
+        "v 0 0 0\nv 1 0 0\nv 1 1 0\nf 1 /2 3\n",
+    ]
+    for i, text in enumerate(cases):
+        p = tmp_path / f"bad{i}.obj"
+        p.write_text(text)
+        with pytest.raises(ValueError):
+            meshes.load_obj(p, native="never")
+        with pytest.raises(ValueError):
+            meshes.load_obj(p, native="always")
+    # too-few-field records are silently SKIPPED by both (len(parts)
+    # guards), even with junk further down the line
+    ok = tmp_path / "short.obj"
+    ok.write_text("v 0 0\nv 0 0 0\nv 1 0 0\nv 1 1 0\nf 1 2\nf 1 2 3\n")
+    vn, fn = meshes.load_obj(ok, native="always")
+    vp, fp_ = meshes.load_obj(ok, native="never")
+    np.testing.assert_array_equal(vn, vp)
+    np.testing.assert_array_equal(fn, fp_)
