@@ -490,7 +490,9 @@ def cmd_selftest(args) -> int:
         )
         mp, mj = float(img_p.mean()), float(img_j.mean())
         rel = abs(mp - mj) / max(mj, 1e-9)
-        report("pt_pallas_energy_vs_jit", rel < 0.15 and np.isfinite(mp),
+        # fixed seeds both sides: measured rel 0.0023 on-chip (r3 judge
+        # run), so 0.01 trips on a ~4x regression instead of 60x
+        report("pt_pallas_energy_vs_jit", rel < 0.01 and np.isfinite(mp),
                pallas_mean=mp, jit_mean=mj, rel_diff=rel)
     else:
         print(json.dumps({"check": "pt_pallas_energy_vs_jit",
@@ -563,7 +565,8 @@ def cmd_selftest(args) -> int:
         ))
         mf, mx = float(img_f.mean()), float(img_x.mean())
         rel = abs(mf - mx) / max(mx, 1e-9)
-        report("mesh_pt_fused_energy_vs_xla", rel < 0.15 and np.isfinite(mf),
+        # measured rel 0.0067 on-chip (r3 judge run); 0.03 trips on ~4x
+        report("mesh_pt_fused_energy_vs_xla", rel < 0.03 and np.isfinite(mf),
                fused_mean=mf, xla_mean=mx, rel_diff=rel)
     else:
         print(json.dumps({"check": "mesh_pt_fused_energy_vs_xla",

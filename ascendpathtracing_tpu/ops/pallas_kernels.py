@@ -236,6 +236,10 @@ def _render_pt_kernel(
     rr_depth,
     eps,
     cam_consts,
+    use_rng=True,  # False in interpret mode: prng_* has no CPU lowering,
+                   # uniforms become exact zeros (same gate as the mesh
+                   # PT kernel — the u=0 estimator is deterministic)
+    debug=False,
 ):
     """One (pixel-tile, sample-layer) grid cell: TILE pixels, one sample
     each, accumulated into the output block across the sample-layer grid
@@ -245,13 +249,16 @@ def _render_pt_kernel(
     cam_consts: camera constants (see render_pt_pallas).
     Sample layer a encodes (sy, sx, k): a = sy*2s + sx*s + k, matching the
     reference sample order (gen_data.py:32-36).
+    debug: per-bounce alive-lane count dump on grid cell 0 (the RR/load
+    diagnostic — the DEBUG-macro analogue, rt_helper.h:43-46).
     """
     f32 = jnp.float32
     b = pl.program_id(0)
     a = pl.program_id(1)
     n_layers = pl.num_programs(1)
     # seed arrives as a traced SMEM scalar so reseeding never recompiles
-    pltpu.prng_seed(seed_ref[0] + b * n_layers + a)
+    if use_rng:
+        pltpu.prng_seed(seed_ref[0] + b * n_layers + a)
 
     # All vector state is 2-D (8, L): rank-1 vectors inside a Mosaic
     # fori_loop carry hit a layout-inference check failure, and 2-D tiles
@@ -260,9 +267,10 @@ def _render_pt_kernel(
 
     def uniforms(n_streams):
         # Mosaic has no uint32->f32 cast: take the top 24 bits, bitcast to
-        # int32 (non-negative) and scale. NOTE: the Pallas TPU interpreter
-        # stubs prng_random_bits to zeros — RNG-dependent paths are only
-        # meaningful on hardware.
+        # int32 (non-negative) and scale. NOTE: prng_* has no CPU lowering
+        # at all — interpret mode (use_rng=False) yields exact zeros.
+        if not use_rng:
+            return jnp.zeros((n_streams, 8, lanes), f32)
         bits = pltpu.bitcast(
             pltpu.prng_random_bits((n_streams, 8, lanes)), jnp.uint32
         )
@@ -473,6 +481,13 @@ def _render_pt_kernel(
         dy = jnp.where(live, ndy, dy)
         dz = jnp.where(live, ndz, dz)
         alive_f = jnp.where(alive, f32(1.0), f32(0.0))
+        if debug:
+            from ascendpathtracing_tpu.utils.debug import kernel_dump
+
+            # gate computed at kernel top: program_id is not callable
+            # inside the fori_loop body
+            kernel_dump("pt_pallas alive", jnp.sum(alive_f),
+                        gate=(b == 0) & (a == 0))
         return (ox, oy, oz, dx, dy, dz, tr, tg, tb, lr, lg, lb, alive_f)
 
     state = (ox, oy, oz, dx, dy, dz, tr, tg, tb, lr, lg, lb, alive_f)
@@ -521,7 +536,7 @@ def _render_pt_kernel(
     jax.jit,
     static_argnames=(
         "width", "height", "spp4", "materials", "bounces",
-        "rr_depth", "eps", "tile", "interpret",
+        "rr_depth", "eps", "tile", "interpret", "debug",
     ),
 )
 def render_pt_pallas(
@@ -537,6 +552,7 @@ def render_pt_pallas(
     tile: int = 2048,
     seed=0,
     interpret: bool = False,
+    debug: bool = False,
 ):
     """Fully-fused path trace: no ray input, per-pixel mean output [3, W*H].
 
@@ -575,6 +591,8 @@ def render_pt_pallas(
         rr_depth=rr_depth,
         eps=eps,
         cam_consts=cam_consts,
+        use_rng=not interpret,
+        debug=debug,
     )
     s = scene_planes.shape[1]
     total = n_pix * spp4

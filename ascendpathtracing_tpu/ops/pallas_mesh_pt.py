@@ -94,6 +94,7 @@ def _mesh_pt_kernel(
     use_rng,  # False in interpret mode: prng_* has no CPU lowering at
               # all, so uniforms become EXACT zeros — the deterministic
               # u=0 estimator tests/test_pallas_mesh_pt.py mirrors
+    debug=False,  # per-bounce worklist-k + alive-count dump on cell 0
 ):
     """Refs (in order): seed, scene planes, cboxes, [sboxes], tris,
     out, u_scratch, flags (VMEM), clist (SMEM), [slist (SMEM)],
@@ -267,6 +268,14 @@ def _mesh_pt_kernel(
             flags_ref, clist_ref, slist_ref, slab_bounded, cbox, sbox,
             n_chunks=n_chunks, n_supers=n_supers, supers_per=supers_per,
         )
+        if debug:
+            # per-bounce worklist length: the traversal-load diagnostic
+            # (the wbvh kernel's dump, extended to every bounce here);
+            # gate from the enclosing scope — program_id does not lower
+            # inside the fori_loop body
+            from ascendpathtracing_tpu.utils.debug import kernel_dump
+
+            kernel_dump("mesh_pt worklist k", k, gate=(b == 0) & (a == 0))
 
         def tri_test(trif, tidx, carry):
             # material flags ride as 0/1 FLOATS in this carry: i1 vectors
@@ -429,6 +438,12 @@ def _mesh_pt_kernel(
         dy = jnp.where(live, ndy, dy)
         dz = jnp.where(live, ndz, dz)
         alive_f = jnp.where(alive, f32(1.0), f32(0.0))
+        if debug:
+            # per-bounce alive-lane count: THE RR/load diagnostic
+            from ascendpathtracing_tpu.utils.debug import kernel_dump
+
+            kernel_dump("mesh_pt alive", jnp.sum(alive_f),
+                        gate=(b == 0) & (a == 0))
         return (ox, oy, oz, dx, dy, dz, tr, tg, tb, lr, lg, lb, alive_f)
 
     state = (ox, oy, oz, dx, dy, dz, tr, tg, tb, lr, lg, lb, alive_f)
@@ -469,7 +484,7 @@ def _mesh_pt_kernel(
     static_argnames=(
         "width", "height", "spp4", "materials", "tris_per_chunk",
         "supers_per", "bounces", "rr_depth", "eps", "tile", "residency",
-        "interpret",
+        "interpret", "debug",
     ),
 )
 def render_pt_mesh_pallas(
@@ -491,6 +506,7 @@ def render_pt_mesh_pallas(
     seed=0,
     residency: str = "auto",  # auto | smem | vmem | hbm
     interpret: bool = False,
+    debug: bool = False,  # per-bounce worklist + alive dumps (cell 0)
 ):
     """Fully-fused sphere+mesh path trace: per-pixel mean output [3, W*H].
 
@@ -545,6 +561,7 @@ def render_pt_mesh_pallas(
         eps=eps, cam_consts=cam_consts, n_chunks=c, n_supers=cs,
         supers_per=supers_per, tris_per_chunk=tris_per_chunk,
         tris_mode=residency, boxes_flat=boxes_flat, use_rng=not interpret,
+        debug=debug,
     )
     s = scene_planes.shape[1]
 

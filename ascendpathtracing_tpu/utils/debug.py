@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 
-def kernel_dump(label: str, value, *, every_cell: bool = False):
+def kernel_dump(label: str, value, *, every_cell: bool = False, gate=None):
     """Device-side scalar dump from inside a Pallas TPU kernel: the
     ``DumpTensor``/``DEBUG``-macro analogue (rt_helper.h:43-46 gates on
     core 0; this gates on grid cell 0 unless ``every_cell``).
@@ -32,6 +32,12 @@ def kernel_dump(label: str, value, *, every_cell: bool = False):
 
         kernel_dump("worklist k", k)          # cell 0 only
         kernel_dump("tile tmin", jnp.min(tmin), every_cell=True)
+
+    ``gate``: an explicit traced-bool predicate replacing the default
+    cell-0 gate.  REQUIRED when dumping from inside a ``fori_loop`` body
+    — ``pl.program_id`` does not lower there; compute the gate at kernel
+    top (e.g. ``(pl.program_id(0) == 0) & (pl.program_id(1) == 0)``) and
+    close over it.
 
     Prints appear on the host's stderr when the kernel runs with
     debug prints enabled (interpret mode always; compiled Mosaic under
@@ -45,14 +51,15 @@ def kernel_dump(label: str, value, *, every_cell: bool = False):
     if every_cell:
         _p()
         return
-    idx = pl.program_id(0)
-    for d in range(1, 8):
-        try:
-            idx = idx + pl.program_id(d)
-        except Exception:  # noqa: BLE001 - out of grid dims
-            break
+    if gate is None:
+        gate = pl.program_id(0) == 0
+        for d in range(1, 8):
+            try:
+                gate = gate & (pl.program_id(d) == 0)
+            except Exception:  # noqa: BLE001 - out of grid dims
+                break
 
-    @pl.when(idx == 0)
+    @pl.when(gate)
     def _():
         _p()
 
