@@ -1,0 +1,222 @@
+"""Custom-VJP backward for the fused sphere+mesh PT Pallas kernel —
+the last quadrant of {sphere,mesh} x {fwd,bwd} (VERDICT r3 ask 1).
+
+The model is the sphere kernel's index-replay backward
+(ops/pallas_kernels.py:1089-1127): the forward stores per-bounce WINNER
+residuals, and the backward replays the albedo/emission product chain
+from them — no intersection, no BVH traversal (the ~44%-of-frame cost
+the recompute backward would pay twice).
+
+Estimator (per sample, per channel c):
+
+    L_c = sum_b [live_b] tput_{b-1,c} e_{b,c}
+    tput_{b,c} = tput_{b-1,c} * m_{b,c};  m_{b,c} = live_b ? a_{b,c} s_b : 1
+
+where a = winner albedo, e = winner emission, and s = the detached
+scalar multiplier (glass rscale and the Russian-roulette 1/pmax weight).
+Exact reverse-mode gradients of L w.r.t. the a/e leaves with discrete
+decisions (winner ids, RR survival, refract-vs-reflect picks) DETACHED
+(SURVEY §7 hard-part 5; the BASELINE north star's reparameterized
+scope):
+
+    dL/de_{b,c} = g_c * live_b * tput_{b-1,c}
+    dL/da_{b,c} = g_c * live_b * s_b * tput_{b-1,c} * T_{b,c}
+    T_{b,c} = live_{b+1} e_{b+1,c} + m_{b+1,c} T_{b+1,c};  T_{B,c} = 0
+
+Detachment is EXACT for bounces <= rr_depth (s is albedo-independent:
+rscale depends only on geometry); with RR active the 1/pmax weight's
+albedo dependence is dropped, the standard detached-RR gradient
+estimator (FD gates therefore pin bounces <= rr_depth).
+
+The per-bounce residuals ride in HBM as plain arrays (wid: winner code,
+resv: a3/e3/s — 32 B/bounce/sample), so this backward is pure
+bandwidth-bound elementwise XLA over them plus one segment-sum for the
+per-face grads; XLA fuses the chain into a few passes, and the cost is
+small against the forward's traversal.  Residual layout documented in
+ops/pallas_mesh_pt.render_pt_mesh_pallas(with_residuals=True).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_spheres", "n_slots", "spp4", "tile", "with_slots"),
+)
+def replay_backward(
+    wid,   # [bounces, cells, 8, L] f32 winner code: si | S+slot | -1
+    resv,  # [bounces, 7, cells, 8, L] f32: ar ag ab er eg eb s
+    g,     # [3, n_pix] cotangent of the per-pixel mean image
+    *,
+    n_spheres: int,
+    n_slots: int,
+    spp4: int,
+    tile: int,
+    with_slots: bool = True,
+):
+    """Replay the product chain from the residuals; returns
+    (d_scene_planes [10, S], d_slot_albedo [CT, 3], d_slot_emission
+    [CT, 3]) — the latter two zero-shaped when ``with_slots=False``."""
+    f32 = jnp.float32
+    bounces, cells, _, lanes = wid.shape
+    nb = cells // spp4
+    S = n_spheres
+
+    wid5 = wid.reshape(bounces, nb, spp4, 8, lanes)
+    resv6 = resv.reshape(bounces, 7, nb, spp4, 8, lanes)
+    a3 = resv6[:, 0:3]
+    e3 = resv6[:, 3:6]
+    s = resv6[:, 6]                      # [B, nb, spp4, 8, L]
+    live = wid5 >= 0.0
+
+    livef = live.astype(f32)[:, None]    # [B, 1, nb, spp4, 8, L]
+    m = jnp.where(livef > 0, a3 * s[:, None], f32(1.0))
+    eL = e3 * livef
+
+    # per-sample cotangent: out = sum_layers contrib / spp4, layers share
+    # the pixel block (kernel pixel order: pix = b*tile + sub*lanes + lane)
+    gs = g.reshape(3, nb, 1, 8, lanes) * f32(1.0 / spp4)
+
+    # forward exclusive products tput_{b-1}; reverse suffix T_b
+    tput_prev = []
+    t = jnp.ones_like(m[0])
+    for b in range(bounces):
+        tput_prev.append(t)
+        t = t * m[b]
+    T = [None] * bounces
+    T[bounces - 1] = jnp.zeros_like(m[0])
+    for b in range(bounces - 2, -1, -1):
+        T[b] = eL[b + 1] + m[b + 1] * T[b + 1]
+
+    ge = [gs * livef[b] * tput_prev[b] for b in range(bounces)]
+    ga = [gs * livef[b] * s[b][None] * tput_prev[b] * T[b]
+          for b in range(bounces)]
+    ge = jnp.stack(ge)                   # [B, 3, nb, spp4, 8, L]
+    ga = jnp.stack(ga)
+
+    # ---- sphere scene-plane grads (select-chain accumulation) ---------
+    rows = []
+    zeros3 = jnp.zeros((3, S), f32)
+    d_emi = jnp.zeros((3, S), f32)
+    d_alb = jnp.zeros((3, S), f32)
+    for si in range(S):
+        msk = (wid5 == float(si)).astype(f32)[:, None]
+        d_emi = d_emi.at[:, si].set(jnp.sum(ge * msk, axis=(0, 2, 3, 4, 5)))
+        d_alb = d_alb.at[:, si].set(jnp.sum(ga * msk, axis=(0, 2, 3, 4, 5)))
+    d_planes = jnp.concatenate([jnp.zeros((4, S), f32), d_emi, d_alb], 0)
+    del rows, zeros3
+
+    if not with_slots:
+        z = jnp.zeros((0, 3), f32)
+        return d_planes, z, z
+
+    # ---- triangle slot grads: one segment-sum over (bounce, sample) ---
+    tri = wid5 >= float(S)
+    seg = jnp.where(tri, wid5.astype(jnp.int32) - S, n_slots)
+    seg_f = jnp.broadcast_to(seg[:, None], ga.shape).reshape(-1)
+    # channel-major flatten keeps each channel's entries contiguous;
+    # segment ids repeat per channel with an offset so ONE segment_sum
+    # covers all 3 channels
+    ch = jax.lax.broadcasted_iota(jnp.int32, ga.shape, 1).reshape(-1)
+    seg3 = seg_f + ch * (n_slots + 1)
+    num = 3 * (n_slots + 1)
+    d_slot_alb = jax.ops.segment_sum(ga.reshape(-1), seg3, num_segments=num)
+    d_slot_emi = jax.ops.segment_sum(ge.reshape(-1), seg3, num_segments=num)
+    d_slot_alb = d_slot_alb.reshape(3, n_slots + 1)[:, :n_slots].T
+    d_slot_emi = d_slot_emi.reshape(3, n_slots + 1)[:, :n_slots].T
+    return d_planes, d_slot_alb, d_slot_emi
+
+
+def slot_grads_to_face(grid, d_slot):
+    """Slot-ordered gradient rows [CT, 3] -> per-face [F, 3] via
+    ChunkGrid.face_of_slot (each face occupies exactly one slot; pad
+    slots are dropped)."""
+    d_slot = np.asarray(d_slot)
+    fos = np.asarray(grid.face_of_slot)
+    n_faces = int(fos.max()) + 1 if (fos >= 0).any() else 0
+    out = np.zeros((n_faces, 3), d_slot.dtype)
+    liv = fos >= 0
+    out[fos[liv]] = d_slot[liv]
+    return out
+
+
+def make_render_pt_mesh_pallas_diff(
+    cboxes,
+    sboxes,
+    geom16,  # [CT, 16] f32: the 13 intersection floats + unit normal
+    mat2,    # [CT, 2] f32: (is_diff, is_refr) one-hots
+    *,
+    width: int,
+    height: int,
+    spp4: int,
+    materials: tuple,
+    tris_per_chunk: int,
+    supers_per: int = 0,
+    bounces: int = 8,
+    rr_depth: int = 5,
+    eps: float = 1e-4,
+    tile: int = 1024,
+    seed=0,
+    residency: str = "auto",
+    interpret: bool = False,
+    grads: str = "scene+slots",  # "scene" skips the per-face segment-sum
+):
+    """Differentiable fused mesh render:
+    ``fn(scene_planes [10,S], slot_albedo [CT,3], slot_emission [CT,3])
+    -> image [3, W*H]`` with the index-replay Pallas-forward /
+    XLA-replay backward.  Slot-ordered attribute rows come from
+    ``pallas_wbvh.permute_face_attrib``; convert slot grads back with
+    :func:`slot_grads_to_face`.
+
+    Geometry (cboxes/sboxes/geom16) and materials are closure constants:
+    d(vertices) flows through the depth-AOV path (diff/mesh.py), exactly
+    like the XLA mesh renderer's split.
+    """
+    from ascendpathtracing_tpu.ops import pallas_mesh_pt as mpt
+
+    n_slots = int(geom16.shape[0])
+    kw = dict(
+        width=width, height=height, spp4=spp4, materials=tuple(materials),
+        tris_per_chunk=tris_per_chunk, supers_per=supers_per,
+        bounces=bounces, rr_depth=rr_depth, eps=eps, tile=tile, seed=seed,
+        residency=residency, interpret=interpret,
+    )
+
+    def assemble(slot_albedo, slot_emission):
+        return jnp.concatenate(
+            [geom16, slot_albedo, slot_emission, mat2], axis=1
+        )
+
+    @jax.custom_vjp
+    def render(scene_planes, slot_albedo, slot_emission):
+        return mpt.render_pt_mesh_pallas(
+            scene_planes, cboxes, sboxes, assemble(slot_albedo, slot_emission),
+            **kw,
+        )
+
+    def fwd(scene_planes, slot_albedo, slot_emission):
+        out, wid, resv = mpt.render_pt_mesh_pallas(
+            scene_planes, cboxes, sboxes, assemble(slot_albedo, slot_emission),
+            with_residuals=True, **kw,
+        )
+        return out, (wid, resv)
+
+    def bwd(res, g):
+        wid, resv = res
+        d_planes, d_sa, d_se = replay_backward(
+            wid, resv, g, n_spheres=len(materials), n_slots=n_slots,
+            spp4=spp4, tile=tile, with_slots=(grads == "scene+slots"),
+        )
+        if grads != "scene+slots":
+            d_sa = jnp.zeros((n_slots, 3), jnp.float32)
+            d_se = jnp.zeros((n_slots, 3), jnp.float32)
+        return d_planes, d_sa, d_se
+
+    render.defvjp(fwd, bwd)
+    return render

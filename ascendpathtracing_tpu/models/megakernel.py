@@ -357,9 +357,12 @@ def render_pt_impl(
         alive2 = live & jnp.where(do_rr, survive, True)
 
         # Next origin: offset along the oriented normal (diffuse/specular)
-        # to avoid self-intersection; refractive rays may cross the
+        # to avoid self-intersection — scale-aware, or the f32 hit error
+        # on the 1e5-radius walls leaks paths through them (see
+        # shade.scaled_origin_offset); refractive rays may cross the
         # surface, keep origin at the hit point.
-        off = jnp.where(is_refr, 0.0, eps)
+        r2w = select_by_id(hit, scene["r2"])
+        off = jnp.where(is_refr, 0.0, shade.scaled_origin_offset(r2w, eps))
         new_o = shade.v3_add(hp, shade.v3_scale(nl, off))
         o3 = shade.v3_where(live, new_o, o3)
         d3 = shade.v3_where(live, new_d, d3)
@@ -471,7 +474,11 @@ def render_pt_nee_impl(
                 shade.v3_scale(sw, cos_a),
             )
         )
-        shadow_o = shade.v3_add(hp, shade.v3_scale(nl, eps))
+        # scale-aware offset for the shadow ray too: a shadow origin
+        # inside the wall it sits on self-occludes and kills the NEE term
+        r2w = select_by_id(hit, scene["r2"])
+        soff = shade.scaled_origin_offset(r2w, eps)
+        shadow_o = shade.v3_add(hp, shade.v3_scale(nl, soff))
         st, shit2, smiss2 = default_hit_fn(shadow_o, ldir, scene, eps)
         lit = ~smiss2 & (shit2 == light)
         ldot = jnp.maximum(shade.v3_dot(ldir, nl), 0.0)
@@ -506,7 +513,7 @@ def render_pt_nee_impl(
         tput = shade.v3_where(do_rr, tput_rr, tput)
         alive = live & jnp.where(do_rr, survive, True)
 
-        off = jnp.where(is_refr, 0.0, eps)
+        off = jnp.where(is_refr, 0.0, soff)
         new_o = shade.v3_add(hp, shade.v3_scale(nl, off))
         o3 = shade.v3_where(live, new_o, o3)
         d3 = shade.v3_where(live, new_d, d3)

@@ -454,7 +454,11 @@ def render_pt_mesh_impl(
         tput2 = shade.v3_where(do_rr, tput_rr, tput2)
         alive2 = live & jnp.where(do_rr, survive, True)
 
-        off = jnp.where(is_refr, 0.0, eps)
+        # scale-aware offset for sphere winners (wall spheres: f32 hit
+        # error ~r * 1e-6 — see shade.scaled_origin_offset); triangle
+        # winners are scene-scale, keep the eps floor via r2 = 0
+        r2w = jnp.where(use_tri, 0.0, select_by_id(shit, sph["r2"]))
+        off = jnp.where(is_refr, 0.0, shade.scaled_origin_offset(r2w, eps))
         new_o = shade.v3_add(hp, shade.v3_scale(nl, off))
         o3 = shade.v3_where(live, new_o, o3)
         d3 = shade.v3_where(live, new_d, d3)

@@ -182,7 +182,9 @@ def render_wavefront(
         tput = shade.v3_where(do_rr, tput_rr, tput)
         continue_ray = live & (depth < bounces) & jnp.where(do_rr, survive, True)
 
-        off = jnp.where(is_refr, 0.0, eps)
+        # scale-aware offset (shade.scaled_origin_offset rationale)
+        r2w = select_by_id(hit, scene["r2"])
+        off = jnp.where(is_refr, 0.0, shade.scaled_origin_offset(r2w, eps))
         new_o = shade.v3_add(hp, shade.v3_scale(nl, off))
         o3 = shade.v3_where(live, new_o, o3)
         d3 = shade.v3_where(live, new_d, d3)
@@ -384,7 +386,10 @@ def _render_wavefront_mesh_impl(
         tput = shade.v3_where(do_rr, tput_rr, tput)
         continue_ray = live & (depth < bounces) & jnp.where(do_rr, survive, True)
 
-        off = jnp.where(is_refr, 0.0, eps)
+        # scale-aware offset for sphere winners; triangle winners keep
+        # the eps floor via r2 = 0 (shade.scaled_origin_offset rationale)
+        r2w = jnp.where(use_tri, 0.0, select_by_id(shit, sph["r2"]))
+        off = jnp.where(is_refr, 0.0, shade.scaled_origin_offset(r2w, eps))
         new_o = shade.v3_add(hp, shade.v3_scale(nl, off))
         o3 = shade.v3_where(live, new_o, o3)
         d3 = shade.v3_where(live, new_d, d3)

@@ -30,6 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ascendpathtracing_tpu.ops.shade import REL_OFFSET
+
 MISS_T = 1e20
 # 4096 measured fastest on v5e for both fwd (1496 Mrays/s, r3 fit) and fwd+bwd
 # replay (572 Mrays/s) at 4M rays / 8 bounces; 2048 and 8192 are slower.
@@ -338,6 +340,7 @@ def _render_pt_kernel(
         w_eb = jnp.zeros(shape, f32)
         w_diff = jnp.zeros(shape, jnp.bool_)
         w_refr = jnp.zeros(shape, jnp.bool_)
+        w_r2 = jnp.zeros(shape, f32)  # winner r^2: scale-aware offset
 
         for si in range(n_spheres):
             r2s = sph(0, si)
@@ -362,6 +365,7 @@ def _render_pt_kernel(
             w_cx = jnp.where(better, cx, w_cx)
             w_cy = jnp.where(better, cy, w_cy)
             w_cz = jnp.where(better, cz, w_cz)
+            w_r2 = jnp.where(better, r2s, w_r2)
             w_ar = jnp.where(better, sph(7, si), w_ar)
             w_ag = jnp.where(better, sph(8, si), w_ag)
             w_ab = jnp.where(better, sph(9, si), w_ab)
@@ -473,7 +477,12 @@ def _render_pt_kernel(
         else:
             alive = live
 
-        off = jnp.where(w_refr, 0.0, eps)
+        # scale-aware offset (shade.scaled_origin_offset rationale): the
+        # f32 wall-sphere hit error is ~r * 1e-6, a fixed eps leaks paths
+        off = jnp.where(
+            w_refr, 0.0,
+            jnp.maximum(f32(eps), f32(REL_OFFSET) * jnp.sqrt(w_r2)),
+        )
         ox = jnp.where(live, hx + nlx * off, ox)
         oy = jnp.where(live, hy + nly * off, oy)
         oz = jnp.where(live, hz + nlz * off, oz)

@@ -45,6 +45,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ascendpathtracing_tpu.ops import pallas_wbvh as wbvh
+from ascendpathtracing_tpu.ops.shade import REL_OFFSET
 from ascendpathtracing_tpu.scenes import DIFF, REFR
 
 MISS_T = 1e20
@@ -199,6 +200,8 @@ def _mesh_pt_kernel(
         w_nx = jnp.zeros(shape, f32)     # triangle unit normal carriers
         w_ny = jnp.zeros(shape, f32)
         w_nz = jnp.zeros(shape, f32)
+        w_r2 = jnp.zeros(shape, f32)     # winner r^2 (scale-aware offset;
+                                         # triangle winners leave it 0)
 
         for si in range(n_spheres):
             r2s = sph(0, si)
@@ -223,6 +226,7 @@ def _mesh_pt_kernel(
             w_cx = jnp.where(better, cx, w_cx)
             w_cy = jnp.where(better, cy, w_cy)
             w_cz = jnp.where(better, cz, w_cz)
+            w_r2 = jnp.where(better, r2s, w_r2)
             w_ar = jnp.where(better, sph(7, si), w_ar)
             w_ag = jnp.where(better, sph(8, si), w_ag)
             w_ab = jnp.where(better, sph(9, si), w_ab)
@@ -430,7 +434,15 @@ def _mesh_pt_kernel(
         else:
             alive = live
 
-        off = jnp.where(w_refr, 0.0, eps)
+        # scale-aware offset (shade.scaled_origin_offset rationale): the
+        # f32 wall-sphere hit error is ~r * 1e-6, a fixed eps leaks
+        # paths; triangle winners (scene-scale geometry) keep the eps
+        # floor via w_r2 = 0
+        r2_eff = jnp.where(is_tri, f32(0.0), w_r2)
+        off = jnp.where(
+            w_refr, 0.0,
+            jnp.maximum(f32(eps), f32(REL_OFFSET) * jnp.sqrt(r2_eff)),
+        )
         ox = jnp.where(live, hx + nlx * off, ox)
         oy = jnp.where(live, hy + nly * off, oy)
         oz = jnp.where(live, hz + nlz * off, oz)

@@ -332,12 +332,13 @@ def render_pt_ring_scene(
                 zeros, zeros, zeros,                    # emission
                 jnp.zeros((m,), bool),                  # is_diff
                 jnp.zeros((m,), bool),                  # is_refr
+                zeros,                                  # winner r^2
             )
 
             def ring_step(r, state2):
                 (r2c, cenc, albc, emic, matc, base), (
                     tmin, wgid, wcx, wcy, wcz, wax, way, waz, wex, wey,
-                    wez, wdf, wrf) = state2
+                    wez, wdf, wrf, wr2) = state2
                 t = intersect_spheres_soa(
                     *o3, *d3, cenc[:, 0], cenc[:, 1], cenc[:, 2], r2c, eps
                 )
@@ -368,6 +369,7 @@ def render_pt_ring_scene(
                     jnp.where(better, emi_w[:, 2], wez),
                     jnp.where(better, mat_w == DIFF, wdf),
                     jnp.where(better, mat_w == REFR, wrf),
+                    jnp.where(better, sel(r2c), wr2),
                 )
                 ring2 = jax.tree.map(
                     lambda x: lax.ppermute(x, axis, fwd),
@@ -377,7 +379,7 @@ def render_pt_ring_scene(
 
             _, carry = lax.fori_loop(0, n_stages, ring_step, (ring, carry))
             (tmin, _wgid, wcx, wcy, wcz, wax, way, waz, wex, wey, wez,
-             is_diff, is_refr) = carry
+             is_diff, is_refr, wr2) = carry
             miss = tmin >= miss_t
             live = alive & ~miss
 
@@ -416,7 +418,11 @@ def render_pt_ring_scene(
             tput2 = shade.v3_where(do_rr, tput_rr, tput2)
             alive2 = live & jnp.where(do_rr, survive, True)
 
-            off = jnp.where(is_refr, 0.0, eps)
+            # scale-aware offset — must match render_pt_impl bit-for-bit
+            # (the ring is gated bit-equal against it)
+            off = jnp.where(
+                is_refr, 0.0, shade.scaled_origin_offset(wr2, eps)
+            )
             new_o = shade.v3_add(hp, shade.v3_scale(nl, off))
             o3 = shade.v3_where(live, new_o, o3)
             d3 = shade.v3_where(live, new_d, d3)

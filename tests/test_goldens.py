@@ -110,3 +110,44 @@ def test_mesh_first_hit_matches_golden():
     img = _mesh_gbuffer_image()
     golden = io.read_ppm(os.path.join(GOLDEN_DIR, "mesh_cube_firsthit_32x32.ppm"))
     np.testing.assert_array_equal(img, golden)
+
+
+# --------------------------------------------------------------- PT golden --
+PT_GOLDEN = os.path.join(GOLDEN_DIR, "pt_smallpt9_64x64_s4_b5.npy")
+
+
+def pt_golden_image(w=64, h=64, s=4, bounces=5, rr_depth=3):
+    """Fixed-seed FULL-PT estimator golden source (VERDICT r3 ask 9):
+    the smallpt9 scene (diffuse + mirror + glass + Russian roulette all
+    on-path) rendered by the f64 XLA megakernel with PRNGKey(42), decoded
+    to the per-pixel linear-radiance image.  f64 + fixed threefry bits
+    make this reproducible up to FP reassociation (~1e-15); the 1e-9
+    gate therefore catches any semantic drift in the estimator that the
+    energy/statistical rel-gates would average away."""
+    import jax
+    import jax.numpy as jnp
+
+    from ascendpathtracing_tpu.models import megakernel
+
+    sc = scenes.smallpt9()
+    dev = megakernel.scene_to_device(sc, dtype=jnp.float64)
+    rays = camera.generate_rays_numpy(w, h, s, seed=0)
+    cols = megakernel.render_pt(
+        jax.random.PRNGKey(42), jnp.asarray(rays), dev, bounces=bounces,
+        rr_depth=rr_depth, materials_static=tuple(int(m) for m in sc.material),
+    )
+    return io.decode_color_hdr(np.asarray(cols), w, h, s)  # [w, h, 3] f64
+
+
+def test_pt_estimator_matches_golden():
+    """Exact-reproduction gate for the full PT estimator on CPU: the
+    committed fixed-seed radiance image must reproduce to 1e-9 (drift in
+    the BSDFs, RR weights, RNG layout or decode breaks this test, not
+    just an energy gate).  Regenerate (only on intentional semantic
+    change) with APT_REGEN_GOLDENS=1 pytest tests/test_goldens.py -k pt."""
+    img = pt_golden_image()
+    if os.environ.get("APT_REGEN_GOLDENS"):
+        np.save(PT_GOLDEN, img.astype(np.float64))
+    golden = np.load(PT_GOLDEN)
+    err = np.abs(img - golden).max()
+    assert err <= 1e-9, f"PT estimator drifted from golden by {err}"

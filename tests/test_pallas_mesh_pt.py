@@ -79,7 +79,7 @@ def _oracle_u0(ms, tris24, materials, w, h, spp4, bounces, rr_depth, eps=1e-4):
             tmin = np.full(n, MISS_T)
             win = {k: np.zeros(n) for k in
                    ("cx", "cy", "cz", "ar", "ag", "ab", "er", "eg", "eb",
-                    "nx", "ny", "nz", "trif")}
+                    "nx", "ny", "nz", "trif", "r2")}
             w_diff = np.zeros(n, bool)
             w_refr = np.zeros(n, bool)
             for si in range(planes.shape[1]):
@@ -98,7 +98,8 @@ def _oracle_u0(ms, tris24, materials, w, h, spp4, bounces, rr_depth, eps=1e-4):
                 for k, val in (("cx", cxs), ("cy", cys), ("cz", czs),
                                ("ar", planes[7, si]), ("ag", planes[8, si]),
                                ("ab", planes[9, si]), ("er", planes[4, si]),
-                               ("eg", planes[5, si]), ("eb", planes[6, si])):
+                               ("eg", planes[5, si]), ("eb", planes[6, si]),
+                               ("r2", r2s)):
                     win[k] = np.where(better, val, win[k])
                 w_diff = (w_diff | better) if materials[si] == DIFF else (w_diff & ~better)
                 w_refr = (w_refr | better) if materials[si] == REFR else (w_refr & ~better)
@@ -125,6 +126,7 @@ def _oracle_u0(ms, tris24, materials, w, h, spp4, bounces, rr_depth, eps=1e-4):
                     w_diff = np.where(better, r[22] > 0.5, w_diff)
                     w_refr = np.where(better, r[23] > 0.5, w_refr)
                     win["trif"] = np.where(better, 1.0, win["trif"])
+                    win["r2"] = np.where(better, 0.0, win["r2"])
             miss = tmin >= MISS_T
             live = alive & ~miss
             hp = o + d * tmin
@@ -170,7 +172,13 @@ def _oracle_u0(ms, tris24, materials, w, h, spp4, bounces, rr_depth, eps=1e-4):
                 alive = live
             else:
                 alive = live
-            off = np.where(w_refr, 0.0, eps)
+            # mirror of the kernel's scale-aware offset
+            # (shade.scaled_origin_offset): f32 math in f64 mirror
+            off_s = np.maximum(
+                np.float32(eps),
+                np.float32(1e-6) * np.sqrt(win["r2"].astype(np.float32)),
+            ).astype(np.float64)
+            off = np.where(w_refr, 0.0, off_s)
             o = np.where(live, hp + nl * off, o)
             d = np.where(live, new_d, d)
         acc += rad / spp4
