@@ -470,8 +470,13 @@ def cmd_selftest(args) -> int:
     # 4. pt-mode energy: fully-fused Pallas PT vs jit PT estimator means
     #    (real-TPU only: the Pallas interpreter stubs prng_random_bits).
     if on_tpu:
-        w = h = 32
-        spp4 = 16
+        # 131k samples: the two sides draw INDEPENDENT RNG streams, so
+        # the honest agreement floor is MC noise (~0.8% here, measured);
+        # smaller sizes made the old 0.15 gate look tight when it was
+        # really comparing two copies of the same (since fixed) f32
+        # energy bias
+        w = h = 64
+        spp4 = 32
         mats = tuple(int(m) for m in scene.material)
         img_p = np.asarray(
             pk.render_pt_pallas(
@@ -490,9 +495,8 @@ def cmd_selftest(args) -> int:
         )
         mp, mj = float(img_p.mean()), float(img_j.mean())
         rel = abs(mp - mj) / max(mj, 1e-9)
-        # fixed seeds both sides: measured rel 0.0023 on-chip (r3 judge
-        # run), so 0.01 trips on a ~4x regression instead of 60x
-        report("pt_pallas_energy_vs_jit", rel < 0.01 and np.isfinite(mp),
+        # ~3x the measured MC floor at this sample count
+        report("pt_pallas_energy_vs_jit", rel < 0.025 and np.isfinite(mp),
                pallas_mean=mp, jit_mean=mj, rel_diff=rel)
     else:
         print(json.dumps({"check": "pt_pallas_energy_vs_jit",
@@ -550,8 +554,8 @@ def cmd_selftest(args) -> int:
             vms, fms, albedo=(0.85, 0.55, 0.2), base_scene="smallpt9"
         )
         pl_, cb_, sb_, t24_, mats_, grid_ = mpt.mesh_pt_tables(ms)
-        wm = hm = 32
-        spp4m = 16
+        wm = hm = 64
+        spp4m = 32
         img_f = np.asarray(mpt.render_pt_mesh_pallas(
             pl_, cb_, sb_, t24_, width=wm, height=hm, spp4=spp4m,
             materials=mats_, tris_per_chunk=grid_.tris_per_chunk,
@@ -565,7 +569,7 @@ def cmd_selftest(args) -> int:
         ))
         mf, mx = float(img_f.mean()), float(img_x.mean())
         rel = abs(mf - mx) / max(mx, 1e-9)
-        # measured rel 0.0067 on-chip (r3 judge run); 0.03 trips on ~4x
+        # ~3x the measured MC floor at this sample count
         report("mesh_pt_fused_energy_vs_xla", rel < 0.03 and np.isfinite(mf),
                fused_mean=mf, xla_mean=mx, rel_diff=rel)
     else:

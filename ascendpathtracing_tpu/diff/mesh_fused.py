@@ -47,7 +47,9 @@ import numpy as np
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_spheres", "n_slots", "spp4", "tile", "with_slots"),
+    static_argnames=(
+        "n_spheres", "n_slots", "spp4", "tile", "with_slots", "cell_chunk",
+    ),
 )
 def replay_backward(
     wid,   # [bounces, cells, 8, L] f32 winner code: si | S+slot | -1
@@ -59,78 +61,106 @@ def replay_backward(
     spp4: int,
     tile: int,
     with_slots: bool = True,
+    cell_chunk: int = 128,
 ):
     """Replay the product chain from the residuals; returns
     (d_scene_planes [10, S], d_slot_albedo [CT, 3], d_slot_emission
-    [CT, 3]) — the latter two zero-shaped when ``with_slots=False``."""
+    [CT, 3]) — the latter two zero-shaped when ``with_slots=False``.
+
+    The replay runs as a ``lax.scan`` over blocks of ``cell_chunk`` grid
+    cells: the per-bounce temporaries (tput prefix products, T suffix
+    sums, grad planes) exist only at chunk scale (~tens of MB), so a
+    4M-sample frame's backward never materializes the bounces x samples
+    x channels tensor that would otherwise OOM HBM."""
     f32 = jnp.float32
     bounces, cells, _, lanes = wid.shape
     nb = cells // spp4
     S = n_spheres
 
-    wid5 = wid.reshape(bounces, nb, spp4, 8, lanes)
-    resv6 = resv.reshape(bounces, 7, nb, spp4, 8, lanes)
-    a3 = resv6[:, 0:3]
-    e3 = resv6[:, 3:6]
-    s = resv6[:, 6]                      # [B, nb, spp4, 8, L]
-    live = wid5 >= 0.0
+    # per-sample cotangent: out = sum_layers contrib / spp4; layers of
+    # one pixel tile share the cotangent block (kernel pixel order:
+    # pix = b*tile + sub*lanes + lane; cell = b*spp4 + a)
+    g_cell = jnp.broadcast_to(
+        g.reshape(3, nb, 1, 8, lanes) * f32(1.0 / spp4),
+        (3, nb, spp4, 8, lanes),
+    ).reshape(3, cells, 8, lanes)
 
-    livef = live.astype(f32)[:, None]    # [B, 1, nb, spp4, 8, L]
-    m = jnp.where(livef > 0, a3 * s[:, None], f32(1.0))
-    eL = e3 * livef
+    cc = min(cell_chunk, cells)
+    if cells % cc:
+        pad = cc - cells % cc
+        wid = jnp.pad(wid, ((0, 0), (0, pad), (0, 0), (0, 0)),
+                      constant_values=-1.0)
+        resv = jnp.pad(resv, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
+        g_cell = jnp.pad(g_cell, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        cells += pad
+    nchunks = cells // cc
+    wid_c = wid.reshape(bounces, nchunks, cc, 8, lanes).swapaxes(0, 1)
+    resv_c = resv.reshape(
+        bounces, 7, nchunks, cc, 8, lanes
+    ).transpose(2, 0, 1, 3, 4, 5)
+    g_c = g_cell.reshape(3, nchunks, cc, 8, lanes).swapaxes(0, 1)
 
-    # per-sample cotangent: out = sum_layers contrib / spp4, layers share
-    # the pixel block (kernel pixel order: pix = b*tile + sub*lanes + lane)
-    gs = g.reshape(3, nb, 1, 8, lanes) * f32(1.0 / spp4)
+    def chunk_fn(carry, xs):
+        d_planes, d_slots = carry
+        widc, resvc, gc = xs          # [B,cc,8,L], [B,7,cc,8,L], [3,cc,8,L]
+        a3 = resvc[:, 0:3]
+        e3 = resvc[:, 3:6]
+        s = resvc[:, 6]
+        livef = (widc >= 0.0).astype(f32)[:, None]
+        m = jnp.where(livef > 0, a3 * s[:, None], f32(1.0))
+        eL = e3 * livef
 
-    # forward exclusive products tput_{b-1}; reverse suffix T_b
-    tput_prev = []
-    t = jnp.ones_like(m[0])
-    for b in range(bounces):
-        tput_prev.append(t)
-        t = t * m[b]
-    T = [None] * bounces
-    T[bounces - 1] = jnp.zeros_like(m[0])
-    for b in range(bounces - 2, -1, -1):
-        T[b] = eL[b + 1] + m[b + 1] * T[b + 1]
+        tput_prev = []
+        t = jnp.ones_like(m[0])
+        for b in range(bounces):
+            tput_prev.append(t)
+            t = t * m[b]
+        T = [None] * bounces
+        T[bounces - 1] = jnp.zeros_like(m[0])
+        for b in range(bounces - 2, -1, -1):
+            T[b] = eL[b + 1] + m[b + 1] * T[b + 1]
 
-    ge = [gs * livef[b] * tput_prev[b] for b in range(bounces)]
-    ga = [gs * livef[b] * s[b][None] * tput_prev[b] * T[b]
-          for b in range(bounces)]
-    ge = jnp.stack(ge)                   # [B, 3, nb, spp4, 8, L]
-    ga = jnp.stack(ga)
+        ge = jnp.stack([gc * livef[b] * tput_prev[b] for b in range(bounces)])
+        ga = jnp.stack([
+            gc * livef[b] * s[b][None] * tput_prev[b] * T[b]
+            for b in range(bounces)
+        ])  # [B, 3, cc, 8, L]
 
-    # ---- sphere scene-plane grads (select-chain accumulation) ---------
-    rows = []
-    zeros3 = jnp.zeros((3, S), f32)
-    d_emi = jnp.zeros((3, S), f32)
-    d_alb = jnp.zeros((3, S), f32)
-    for si in range(S):
-        msk = (wid5 == float(si)).astype(f32)[:, None]
-        d_emi = d_emi.at[:, si].set(jnp.sum(ge * msk, axis=(0, 2, 3, 4, 5)))
-        d_alb = d_alb.at[:, si].set(jnp.sum(ga * msk, axis=(0, 2, 3, 4, 5)))
-    d_planes = jnp.concatenate([jnp.zeros((4, S), f32), d_emi, d_alb], 0)
-    del rows, zeros3
+        d_emi = jnp.zeros((3, S), f32)
+        d_alb = jnp.zeros((3, S), f32)
+        for si in range(S):
+            msk = (widc == float(si)).astype(f32)[:, None]
+            d_emi = d_emi.at[:, si].add(jnp.sum(ge * msk, axis=(0, 2, 3, 4)))
+            d_alb = d_alb.at[:, si].add(jnp.sum(ga * msk, axis=(0, 2, 3, 4)))
+        dp = jnp.concatenate([jnp.zeros((4, S), f32), d_emi, d_alb], 0)
 
+        if with_slots:
+            # ONE row-payload segment-sum per chunk: 6-wide rows (albedo
+            # + emission channels together) — scatter cost scales with
+            # the update COUNT, not bytes
+            tri = widc >= float(S)
+            seg = jnp.where(tri, widc.astype(jnp.int32) - S, n_slots)
+            seg = seg.reshape(-1)
+            rows = jnp.concatenate(
+                [
+                    jnp.moveaxis(ga, 1, -1).reshape(-1, 3),
+                    jnp.moveaxis(ge, 1, -1).reshape(-1, 3),
+                ],
+                axis=1,
+            )
+            d_slots = d_slots + jax.ops.segment_sum(
+                rows, seg, num_segments=n_slots + 1
+            )
+        return (d_planes + dp, d_slots), None
+
+    slots0 = jnp.zeros((n_slots + 1, 6) if with_slots else (0, 6), f32)
+    (d_planes, d_slots), _ = jax.lax.scan(
+        chunk_fn, (jnp.zeros((10, S), f32), slots0), (wid_c, resv_c, g_c)
+    )
     if not with_slots:
         z = jnp.zeros((0, 3), f32)
         return d_planes, z, z
-
-    # ---- triangle slot grads: one segment-sum over (bounce, sample) ---
-    tri = wid5 >= float(S)
-    seg = jnp.where(tri, wid5.astype(jnp.int32) - S, n_slots)
-    seg_f = jnp.broadcast_to(seg[:, None], ga.shape).reshape(-1)
-    # channel-major flatten keeps each channel's entries contiguous;
-    # segment ids repeat per channel with an offset so ONE segment_sum
-    # covers all 3 channels
-    ch = jax.lax.broadcasted_iota(jnp.int32, ga.shape, 1).reshape(-1)
-    seg3 = seg_f + ch * (n_slots + 1)
-    num = 3 * (n_slots + 1)
-    d_slot_alb = jax.ops.segment_sum(ga.reshape(-1), seg3, num_segments=num)
-    d_slot_emi = jax.ops.segment_sum(ge.reshape(-1), seg3, num_segments=num)
-    d_slot_alb = d_slot_alb.reshape(3, n_slots + 1)[:, :n_slots].T
-    d_slot_emi = d_slot_emi.reshape(3, n_slots + 1)[:, :n_slots].T
-    return d_planes, d_slot_alb, d_slot_emi
+    return d_planes, d_slots[:n_slots, 0:3], d_slots[:n_slots, 3:6]
 
 
 def slot_grads_to_face(grid, d_slot):

@@ -96,10 +96,11 @@ def _mesh_pt_kernel(
               # all, so uniforms become EXACT zeros — the deterministic
               # u=0 estimator tests/test_pallas_mesh_pt.py mirrors
     debug=False,  # per-bounce worklist-k + alive-count dump on cell 0
+    with_residuals=False,  # emit per-bounce replay residuals (wid, resv)
 ):
     """Refs (in order): seed, scene planes, cboxes, [sboxes], tris,
-    out, u_scratch, flags (VMEM), clist (SMEM), [slist (SMEM)],
-    [tri_scratch, dma_sem] (hbm mode)."""
+    out, [wid_out, resv_out], u_scratch, flags (VMEM), clist (SMEM),
+    [slist (SMEM)], [tri_scratch, dma_sem] (hbm mode)."""
     f32 = jnp.float32
     T = tris_per_chunk
     it = iter(refs)
@@ -109,6 +110,8 @@ def _mesh_pt_kernel(
     sboxes_ref = next(it) if n_supers else None
     tris_ref = next(it)
     out_ref = next(it)
+    wid_ref = next(it) if with_residuals else None
+    resv_ref = next(it) if with_residuals else None
     u_scratch = next(it)
     flags_ref = next(it)
     clist_ref = next(it)
@@ -179,7 +182,7 @@ def _mesh_pt_kernel(
     n_spheres = len(materials)
     sph = lambda plane, si: scene_ref[plane, si]
 
-    def bounce(state, with_rr, u):
+    def bounce(state, with_rr, u, bi=None):
         ox, oy, oz, dx, dy, dz, tr, tg, tb, lr, lg, lb, alive_f = state
         alive = alive_f > 0.5
 
@@ -202,6 +205,8 @@ def _mesh_pt_kernel(
         w_nz = jnp.zeros(shape, f32)
         w_r2 = jnp.zeros(shape, f32)     # winner r^2 (scale-aware offset;
                                          # triangle winners leave it 0)
+        # replay-residual carriers: sphere winner index / triangle slot
+        w_sif = jnp.zeros(shape, f32) if with_residuals else None
 
         for si in range(n_spheres):
             r2s = sph(0, si)
@@ -227,6 +232,8 @@ def _mesh_pt_kernel(
             w_cy = jnp.where(better, cy, w_cy)
             w_cz = jnp.where(better, cz, w_cz)
             w_r2 = jnp.where(better, r2s, w_r2)
+            if with_residuals:
+                w_sif = jnp.where(better, f32(si), w_sif)
             w_ar = jnp.where(better, sph(7, si), w_ar)
             w_ag = jnp.where(better, sph(8, si), w_ag)
             w_ab = jnp.where(better, sph(9, si), w_ab)
@@ -281,11 +288,11 @@ def _mesh_pt_kernel(
 
             kernel_dump("mesh_pt worklist k", k, gate=(b == 0) & (a == 0))
 
-        def tri_test(trif, tidx, carry):
+        def tri_test(trif, tidx, slotf, carry):
             # material flags ride as 0/1 FLOATS in this carry: i1 vectors
             # in a fori_loop carry fail Mosaic legalization (LESSONS #11)
             (tmin, w_ar, w_ag, w_ab, w_er, w_eg, w_eb, w_diff_f, w_refr_f,
-             w_trif, w_nx, w_ny, w_nz) = carry
+             w_trif, w_nx, w_ny, w_nz) = carry[:13]
             nx_ = trif(tidx, 3)
             ny_ = trif(tidx, 4)
             nz_ = trif(tidx, 5)
@@ -308,7 +315,14 @@ def _mesh_pt_kernel(
             w_eb = jnp.where(better, trif(tidx, 21), w_eb)
             w_diff_f = jnp.where(better, trif(tidx, 22), w_diff_f)
             w_refr_f = jnp.where(better, trif(tidx, 23), w_refr_f)
-            w_trif = jnp.where(better, f32(1.0), w_trif)
+            # with_residuals packs the winning SLOT id into the existing
+            # tri flag (0 = sphere winner, slot+1 = triangle winner):
+            # the replay backward gets the id with ZERO extra phase-B
+            # carry (a 14th fori-carry operand measured +32% whole-kernel
+            # cost from register pressure); is_tri (> 0.5) still works
+            w_trif = jnp.where(
+                better, slotf + 1.0 if with_residuals else f32(1.0), w_trif
+            )
             w_nx = jnp.where(better, trif(tidx, 13), w_nx)
             w_ny = jnp.where(better, trif(tidx, 14), w_ny)
             w_nz = jnp.where(better, trif(tidx, 15), w_nz)
@@ -316,9 +330,9 @@ def _mesh_pt_kernel(
                     w_refr_f, w_trif, w_nx, w_ny, w_nz)
 
         def chunk_fn(trif, base, carry):
-            del base  # this kernel never needs the winning SLOT id
             for j in range(T):
-                carry = tri_test(trif, j, carry)
+                slotf = (base + j).astype(f32) if with_residuals else None
+                carry = tri_test(trif, j, slotf, carry)
             return carry
 
         carry = (tmin, w_ar, w_ag, w_ab, w_er, w_eg, w_eb,
@@ -431,8 +445,30 @@ def _mesh_pt_kernel(
             tg = jnp.where(survive, tg * pinv, tg)
             tb = jnp.where(survive, tb * pinv, tb)
             alive = live & survive
+            scl_res = scl * jnp.where(survive, pinv, f32(1.0))
         else:
             alive = live
+            scl_res = scl
+
+        if with_residuals:
+            # replay residuals (see diff/mesh_fused.py): winner code
+            # (sphere index | S + slot | -1 when not live), winner
+            # albedo/emission values, and the detached scalar multiplier
+            # (glass rscale x RR weight).  Values, not ids, for the
+            # attributes: the backward cannot gather per-lane from the
+            # slot tables.  The slot id rides in w_trif as slot+1.
+            widf = jnp.where(
+                live,
+                jnp.where(
+                    is_tri, f32(n_spheres) + (w_trif - 1.0), w_sif
+                ),
+                f32(-1.0),
+            )
+            wid_ref[bi, 0] = widf
+            for j6, v in enumerate(
+                (w_ar, w_ag, w_ab, w_er, w_eg, w_eb, scl_res)
+            ):
+                resv_ref[bi, j6, 0] = v
 
         # scale-aware offset (shade.scaled_origin_offset rationale): the
         # f32 wall-sphere hit error is ~r * 1e-6, a fixed eps leaks
@@ -462,18 +498,29 @@ def _mesh_pt_kernel(
     n_pre = min(rr_depth, bounces)
     n_rr = bounces - n_pre
     u_scratch[:, :, :] = uniforms(3 * bounces)
-    if n_pre:
-        state = jax.lax.fori_loop(
-            0, n_pre,
-            lambda i, st: bounce(st, False, u_scratch[pl.ds(3 * i, 3)]),
-            state,
-        )
-    if n_rr:
-        state = jax.lax.fori_loop(
-            0, n_rr,
-            lambda i, st: bounce(st, True, u_scratch[pl.ds(3 * (n_pre + i), 3)]),
-            state,
-        )
+    if with_residuals:
+        # Python-unrolled bounce loop: residual stores get STATIC bounce
+        # indices (a dynamic leading index on the VMEM residual block
+        # lowers to a masked slow path — measured +25% whole-kernel cost)
+        for i in range(bounces):
+            state = bounce(
+                state, i >= n_pre, u_scratch[pl.ds(3 * i, 3)], i
+            )
+    else:
+        if n_pre:
+            state = jax.lax.fori_loop(
+                0, n_pre,
+                lambda i, st: bounce(st, False, u_scratch[pl.ds(3 * i, 3)]),
+                state,
+            )
+        if n_rr:
+            state = jax.lax.fori_loop(
+                0, n_rr,
+                lambda i, st: bounce(
+                    st, True, u_scratch[pl.ds(3 * (n_pre + i), 3)]
+                ),
+                state,
+            )
     lr, lg, lb = state[9], state[10], state[11]
 
     inv_spp = f32(1.0 / spp4)
@@ -496,7 +543,7 @@ def _mesh_pt_kernel(
     static_argnames=(
         "width", "height", "spp4", "materials", "tris_per_chunk",
         "supers_per", "bounces", "rr_depth", "eps", "tile", "residency",
-        "interpret", "debug",
+        "interpret", "debug", "with_residuals",
     ),
 )
 def render_pt_mesh_pallas(
@@ -519,6 +566,7 @@ def render_pt_mesh_pallas(
     residency: str = "auto",  # auto | smem | vmem | hbm
     interpret: bool = False,
     debug: bool = False,  # per-bounce worklist + alive dumps (cell 0)
+    with_residuals: bool = False,
 ):
     """Fully-fused sphere+mesh path trace: per-pixel mean output [3, W*H].
 
@@ -527,6 +575,16 @@ def render_pt_mesh_pallas(
     VMEM, then HBM with per-chunk double-buffered DMA of each bounce's
     compacted worklist (``residency="auto"`` picks; the thresholds and
     the packing match ops/pallas_wbvh.py).
+
+    ``with_residuals=True`` additionally returns the per-bounce replay
+    residuals for the custom-VJP backward (diff/mesh_fused.py):
+    ``wid [bounces, nb*spp4, 8, tile//8]`` f32 winner codes (sphere
+    index, S + slot for triangles, -1 when the lane took no bounce) and
+    ``resv [bounces, 7, nb*spp4, 8, tile//8]`` f32 winner
+    albedo/emission values + the detached scalar multiplier — 32
+    bytes/bounce/sample of HBM, the index-replay discipline of the
+    sphere kernel extended with attribute VALUES (a per-lane gather from
+    the slot tables is not lowerable in the backward).
     """
     from ascendpathtracing_tpu.camera import Camera
 
@@ -573,7 +631,7 @@ def render_pt_mesh_pallas(
         eps=eps, cam_consts=cam_consts, n_chunks=c, n_supers=cs,
         supers_per=supers_per, tris_per_chunk=tris_per_chunk,
         tris_mode=residency, boxes_flat=boxes_flat, use_rng=not interpret,
-        debug=debug,
+        debug=debug, with_residuals=with_residuals,
     )
     s = scene_planes.shape[1]
 
@@ -644,21 +702,52 @@ def render_pt_mesh_pallas(
         scratch.append(pltpu.SemaphoreType.DMA((2,)))
 
     total = n_pix * spp4
-    out = pl.pallas_call(
+    lanes = tile // 8
+    out_specs = [
+        pl.BlockSpec(
+            (3, 1, 8, lanes), lambda b, a: (0, b, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    out_shapes = [jax.ShapeDtypeStruct((3, nb, 8, lanes), jnp.float32)]
+    if with_residuals:
+        cells = nb * spp4
+        out_specs.append(
+            pl.BlockSpec(
+                (bounces, 1, 8, lanes),
+                lambda b, a: (0, b * spp4 + a, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        out_shapes.append(
+            jax.ShapeDtypeStruct((bounces, cells, 8, lanes), jnp.float32)
+        )
+        out_specs.append(
+            pl.BlockSpec(
+                (bounces, 7, 1, 8, lanes),
+                lambda b, a: (0, 0, b * spp4 + a, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        out_shapes.append(
+            jax.ShapeDtypeStruct((bounces, 7, cells, 8, lanes), jnp.float32)
+        )
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (3, 1, 8, tile // 8), lambda b, a: (0, b, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((3, nb, 8, tile // 8), jnp.float32),
+        out_specs=tuple(out_specs) if with_residuals else out_specs[0],
+        out_shape=tuple(out_shapes) if with_residuals else out_shapes[0],
         scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=total * bounces * (len(materials) * 14 + c * 25 + 120),
-            bytes_accessed=3 * n_pix * 4,
+            bytes_accessed=(3 * n_pix + (total * bounces * 8 if
+                                         with_residuals else 0)) * 4,
             transcendentals=total * bounces * (len(materials) + 8),
         ),
         interpret=interpret,
     )(*inputs)
-    return out.reshape(3, n_pix)
+    if with_residuals:
+        out, wid, resv = outs
+        return out.reshape(3, n_pix), wid, resv
+    return outs.reshape(3, n_pix)

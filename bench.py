@@ -140,15 +140,44 @@ def main(argv=None) -> int:
                 ms, tris_per_chunk=args.chunk_tris
             )
 
-            def run(seed):
-                return mpt.render_pt_mesh_pallas(
-                    planes, cb, sb, t24, width=w, height=h, spp4=spp4,
-                    materials=mats, tris_per_chunk=grid.tris_per_chunk,
-                    supers_per=grid.supers_per, bounces=args.bounces,
-                    rr_depth=5, tile=args.tile, seed=seed,
-                )
+            if args.fwd_only:
 
-            label = "pallas-mesh fused"
+                def run(seed):
+                    return mpt.render_pt_mesh_pallas(
+                        planes, cb, sb, t24, width=w, height=h, spp4=spp4,
+                        materials=mats, tris_per_chunk=grid.tris_per_chunk,
+                        supers_per=grid.supers_per, bounces=args.bounces,
+                        rr_depth=5, tile=args.tile, seed=seed,
+                    )
+
+                label = "pallas-mesh fused"
+            else:
+                # fwd+bwd (the BASELINE metric): Pallas forward stores
+                # the per-bounce replay residuals, the XLA backward
+                # replays the product chain for sphere-plane AND
+                # per-face albedo/emission grads (diff/mesh_fused.py)
+                from ascendpathtracing_tpu.diff import mesh_fused as dmf
+
+                t24j = jnp.asarray(t24)
+                render_d = dmf.make_render_pt_mesh_pallas_diff(
+                    cb, sb, t24j[:, :16], t24j[:, 22:24], width=w,
+                    height=h, spp4=spp4, materials=mats,
+                    tris_per_chunk=grid.tris_per_chunk,
+                    supers_per=grid.supers_per, bounces=args.bounces,
+                    rr_depth=5, tile=args.tile,
+                )
+                alb0 = t24j[:, 16:19]
+                emi0 = t24j[:, 19:22]
+                planes32 = planes.astype(jnp.float32)
+                step_d = jax.jit(jax.value_and_grad(
+                    lambda p, a, e: jnp.sum(render_d(p, a, e)),
+                    argnums=(0, 1, 2),
+                ))
+
+                def run(seed):
+                    return step_d(planes32, alb0, emi0)
+
+                label = "pallas-mesh fused fwd+bwd"
             extra = {"tris": int(f.shape[0]), "chunks": grid.n_chunks,
                      "supers": grid.n_supers, "tile": args.tile}
         elif args.renderer == "wavefront-mesh":
@@ -190,26 +219,51 @@ def main(argv=None) -> int:
             )
             key_m = jax.random.PRNGKey(0)
 
-            def run(i):
-                return mesh_mod.render_pt_mesh(
-                    jax.random.fold_in(key_m, i), rays_m, mdev,
-                    bounces=args.bounces,
-                )
+            if args.fwd_only:
 
-            label = "xla-mesh jit loop"
+                def run(i):
+                    return mesh_mod.render_pt_mesh(
+                        jax.random.fold_in(key_m, i), rays_m, mdev,
+                        bounces=args.bounces,
+                    )
+
+                label = "xla-mesh jit loop"
+            else:
+                # fwd+bwd comparison target: the differentiable XLA path
+                # (diff/mesh.py) — gradients w.r.t. vertices and
+                # per-face albedo/emission through the gather-mode
+                # recompute
+                from ascendpathtracing_tpu.diff import mesh as dmesh
+
+                params_m = dmesh.mesh_params(ms)
+                faces_m = jnp.asarray(np.asarray(ms.faces))
+                step_m = jax.jit(jax.value_and_grad(
+                    lambda p, k: jnp.sum(dmesh.render_pt_mesh_params(
+                        k, rays_m, p, mdev, faces_m, bounces=args.bounces,
+                    ))
+                ))
+
+                def run(i):
+                    return step_m(params_m, jax.random.fold_in(key_m, i))
+
+                label = "xla-mesh jit loop fwd+bwd"
             extra = {"tris": int(f.shape[0]), "spp4": spp4}
 
         dt, out, fit = _measure(run, args.iters, args.warmup)
         mrays = total / dt / 1e6
+        tag_m = "fwd+bwd" if "fwd+bwd" in label else "fwd"
+        label = label.replace(" fwd+bwd", "")
         print(json.dumps({
-            "metric": f"Mrays/s/chip fwd ({label}, {args.bounces}b RR, "
+            "metric": f"Mrays/s/chip {tag_m} ({label}, {args.bounces}b RR, "
                       f"{w}x{h}, icosphere s{args.subdiv})",
             "value": round(mrays, 3),
             "unit": "Mrays/s",
             "vs_baseline": round(mrays / 100.0, 4),
             "detail": {"backend": jax.default_backend(), "samples": total,
                        "step_ms": round(dt * 1e3, 3),
-                       "out_mean": float(jnp.mean(out)), **extra,
+                       "out_mean": float(jnp.mean(
+                           out[0] if isinstance(out, tuple) else out)),
+                       **extra,
                        **_fit_detail(fit)},
         }))
         return 0

@@ -122,3 +122,59 @@ def test_mesh_pt_pallas_superchunk_hbm_large_scene():
     img_hbm = render("hbm")
     assert np.isfinite(img_hbm).all() and img_hbm.mean() > 0
     np.testing.assert_array_equal(img_hbm, render("auto"))
+
+
+def test_mesh_fused_custom_vjp_fd_on_chip():
+    """The replay backward against central finite differences of the
+    COMPILED forward on real hardware: a fixed seed makes the on-chip
+    PRNG stream (and thus the forward) deterministic, and with
+    bounces <= rr_depth the estimator is polynomial in the probed
+    leaves, so central FD is near-exact (same gate as the interpret
+    test, now through Mosaic)."""
+    import jax.numpy as jnp
+
+    from ascendpathtracing_tpu.diff import mesh_fused as dmf
+    from ascendpathtracing_tpu.ops import pallas_mesh_pt as mpt
+
+    ms = _scene(subdivisions=2)
+    planes, cb, sb, t24, mats, grid = mpt.mesh_pt_tables(
+        ms, tris_per_chunk=8, supers_per=0
+    )
+    t24 = jnp.asarray(t24)
+    geom16, alb0, emi0, mat2 = (
+        t24[:, :16], t24[:, 16:19], t24[:, 19:22], t24[:, 22:24],
+    )
+    render = dmf.make_render_pt_mesh_pallas_diff(
+        cb, sb, geom16, mat2, width=32, height=32, spp4=8, materials=mats,
+        tris_per_chunk=grid.tris_per_chunk, supers_per=grid.supers_per,
+        bounces=3, rr_depth=3, tile=1024, seed=11,
+    )
+    planes32 = planes.astype(jnp.float32)
+    wgt = jnp.asarray(
+        np.random.RandomState(1).rand(3, 32 * 32).astype(np.float32)
+    )
+    loss = jax.jit(
+        lambda p, a, e: jnp.sum(wgt * render(p, a, e))
+    )
+    gp, ga, ge = map(
+        np.asarray, jax.grad(loss, argnums=(0, 1, 2))(planes32, alb0, emi0)
+    )
+    assert np.abs(gp[0:4]).max() == 0.0
+    assert np.abs(gp[4:10]).max() > 0 and np.abs(ga).max() > 0
+
+    def fd(fn, x, idx, h=1e-2):
+        x0 = np.asarray(x).copy()
+        x0[idx] += h
+        x1 = np.asarray(x).copy()
+        x1[idx] -= h
+        return (float(fn(jnp.asarray(x0))) - float(fn(jnp.asarray(x1)))) / (2 * h)
+
+    sel = np.abs(gp).copy()
+    sel[0:4] = 0
+    idx = np.unravel_index(sel.argmax(), sel.shape)
+    est = fd(lambda p: loss(p, alb0, emi0), planes32, idx)
+    assert abs(gp[idx] - est) <= 1e-2 * max(abs(est), 1.0), (idx, gp[idx], est)
+
+    idx = np.unravel_index(np.abs(ga).argmax(), ga.shape)
+    est = fd(lambda a: loss(planes32, a, emi0), alb0, idx)
+    assert abs(ga[idx] - est) <= 1e-2 * max(abs(est), 1e-2), (idx, ga[idx], est)
