@@ -210,9 +210,9 @@ def cmd_render(args) -> int:
         planes, cb, sb, t24, mats, grid = mpt.mesh_pt_tables(mesh_scene)
         img3 = mpt.render_pt_mesh_pallas(
             planes, cb, sb, t24, width=w, height=h, spp4=4 * s,
-            materials=mats, tris_per_chunk=grid.tris_per_chunk,
-            supers_per=grid.supers_per, bounces=args.bounces,
+            materials=mats, bounces=args.bounces,
             seed=args.seed, tile=1024 if (w * h) % 2048 else 2048,
+            **mpt.pt_tables_kwargs(grid),
         )
         # the kernel accumulates the per-pixel MEAN on device; expand
         # it across the 4*s subsample slots so color.bin keeps its
@@ -558,8 +558,8 @@ def cmd_selftest(args) -> int:
         spp4m = 32
         img_f = np.asarray(mpt.render_pt_mesh_pallas(
             pl_, cb_, sb_, t24_, width=wm, height=hm, spp4=spp4m,
-            materials=mats_, tris_per_chunk=grid_.tris_per_chunk,
-            supers_per=grid_.supers_per, bounces=4, rr_depth=3, tile=1024,
+            materials=mats_, bounces=4, rr_depth=3, tile=1024,
+            **mpt.pt_tables_kwargs(grid_),
         ))
         rays_m = camera.generate_rays_numpy(wm, hm, spp4m // 4, seed=0)
         mdev = mesh_mod.mesh_scene_to_device(ms, pallas_bvh_kernel=True)

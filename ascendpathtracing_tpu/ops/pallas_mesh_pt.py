@@ -61,21 +61,31 @@ def pack_mesh_for_pt(grid: wbvh.ChunkGrid, ms) -> np.ndarray:
     )
 
 
-def mesh_pt_tables(ms, *, tris_per_chunk: int = 16, supers_per: int | None = None):
+def mesh_pt_tables(
+    ms, *, tris_per_chunk: int = 16, supers_per: int | None = None,
+    supers2_per: int | None = None,
+):
     """MeshScene -> everything :func:`render_pt_mesh_pallas` needs.
 
     Returns (scene_planes [10, S] f32, cboxes [C, 6], sboxes [Cs, 6],
     tris24 [C*T, TRI_PT_F], materials tuple, grid).  ``supers_per`` auto
     defaults like models/mesh.py: 16 once the chunk count reaches 128
-    (the r3 sweep winner on divergent rays).
+    (the r3 sweep winner on divergent rays); ``supers2_per`` auto
+    defaults to 16 once the SUPER count reaches 256 (the third level
+    that carries phase A past ~1M triangles).  Pass ``grid.ssboxes`` /
+    ``grid.supers2_per`` through to the renderer (pt_tables_kwargs
+    below does it for you).
     """
     faces = np.asarray(ms.faces)
+    n_ch_est = -(-faces.shape[0] // tris_per_chunk)
     if supers_per is None:
-        n_ch_est = -(-faces.shape[0] // tris_per_chunk)
         supers_per = 16 if n_ch_est >= 128 else 0
+    if supers2_per is None:
+        n_s_est = -(-n_ch_est // supers_per) if supers_per else 0
+        supers2_per = 16 if n_s_est >= 256 else 0
     grid = wbvh.build_chunk_grid(
         ms.vertices, faces, tris_per_chunk=tris_per_chunk,
-        supers_per=supers_per,
+        supers_per=supers_per, supers2_per=supers2_per,
     )
     tris24 = pack_mesh_for_pt(grid, ms)
     planes = jnp.asarray(ms.spheres.soa10())
@@ -86,10 +96,23 @@ def mesh_pt_tables(ms, *, tris_per_chunk: int = 16, supers_per: int | None = Non
     )
 
 
+def pt_tables_kwargs(grid) -> dict:
+    """The grid-derived kwargs for :func:`render_pt_mesh_pallas` —
+    single place so call sites cannot forget the third level."""
+    kw = dict(
+        tris_per_chunk=grid.tris_per_chunk, supers_per=grid.supers_per,
+    )
+    if grid.n_supers2:
+        kw["ssboxes"] = jnp.asarray(grid.ssboxes)
+        kw["supers2_per"] = grid.supers2_per
+    return kw
+
+
 def _mesh_pt_kernel(
     *refs,
     width, height, spp4, tile, materials, bounces, rr_depth, eps,
     cam_consts, n_chunks, n_supers, supers_per, tris_per_chunk,
+    n_supers2, supers2_per,
     tris_mode,  # "smem" | "vmem" | "hbm"
     boxes_flat,
     use_rng,  # False in interpret mode: prng_* has no CPU lowering at
@@ -108,6 +131,7 @@ def _mesh_pt_kernel(
     scene_ref = next(it)
     cboxes_ref = next(it)
     sboxes_ref = next(it) if n_supers else None
+    ssboxes_ref = next(it) if n_supers2 else None
     tris_ref = next(it)
     out_ref = next(it)
     wid_ref = next(it) if with_residuals else None
@@ -116,6 +140,7 @@ def _mesh_pt_kernel(
     flags_ref = next(it)
     clist_ref = next(it)
     slist_ref = next(it) if n_supers else None
+    sslist_ref = next(it) if n_supers2 else None
     tscratch_ref = next(it) if tris_mode == "hbm" else None
     dsem_ref = next(it) if tris_mode == "hbm" else None
 
@@ -129,9 +154,11 @@ def _mesh_pt_kernel(
     if boxes_flat:
         cbox = lambda c, k: cboxes_ref[c * 6 + k]
         sbox = (lambda s, k: sboxes_ref[s * 6 + k]) if n_supers else None
+        ssbox = (lambda s, k: ssboxes_ref[s * 6 + k]) if n_supers2 else None
     else:
         cbox = lambda c, k: cboxes_ref[c, k]
         sbox = (lambda s, k: sboxes_ref[s, k]) if n_supers else None
+        ssbox = (lambda s, k: ssboxes_ref[s, k]) if n_supers2 else None
 
     def uniforms(n_streams):
         if not use_rng:
@@ -278,6 +305,8 @@ def _mesh_pt_kernel(
         k = wbvh.compact_worklist(
             flags_ref, clist_ref, slist_ref, slab_bounded, cbox, sbox,
             n_chunks=n_chunks, n_supers=n_supers, supers_per=supers_per,
+            sslist_ref=sslist_ref, ssbox=ssbox, n_supers2=n_supers2,
+            supers2_per=supers2_per,
         )
         if debug:
             # per-bounce worklist length: the traversal-load diagnostic
@@ -542,8 +571,8 @@ def _mesh_pt_kernel(
     jax.jit,
     static_argnames=(
         "width", "height", "spp4", "materials", "tris_per_chunk",
-        "supers_per", "bounces", "rr_depth", "eps", "tile", "residency",
-        "interpret", "debug", "with_residuals",
+        "supers_per", "supers2_per", "bounces", "rr_depth", "eps", "tile",
+        "residency", "interpret", "debug", "with_residuals",
     ),
 )
 def render_pt_mesh_pallas(
@@ -551,6 +580,7 @@ def render_pt_mesh_pallas(
     cboxes,  # [C, 6] f32
     sboxes,  # [Cs, 6] f32 (Cs == 0: single level)
     tris24,  # [C*T, TRI_PT_F] f32 (attr_triangle_rows layout)
+    ssboxes=None,  # [Css, 6] f32 (third level; None/empty disables)
     *,
     width: int,
     height: int,
@@ -558,6 +588,7 @@ def render_pt_mesh_pallas(
     materials: tuple,
     tris_per_chunk: int = 32,
     supers_per: int = 0,
+    supers2_per: int = 0,
     bounces: int = 8,
     rr_depth: int = 5,
     eps: float = 1e-4,
@@ -597,9 +628,14 @@ def render_pt_mesh_pallas(
     grid = (nb, spp4)
     c = cboxes.shape[0]
     cs = sboxes.shape[0]
+    if ssboxes is None:
+        ssboxes = jnp.zeros((0, 6), jnp.float32)
+    css = ssboxes.shape[0]
     ct = tris24.shape[0]
     if cs and cs * supers_per != c:
         raise ValueError("sboxes/supers_per inconsistent with chunk count")
+    if css and (not cs or css * supers2_per != cs):
+        raise ValueError("ssboxes/supers2_per inconsistent with super count")
     if tris24.shape[1] != TRI_PT_F:
         raise ValueError(f"tris24 must be [C*T, {TRI_PT_F}] attr rows")
 
@@ -611,7 +647,7 @@ def render_pt_mesh_pallas(
         float(Camera().origin_push),
     )
 
-    box_bytes = (c + cs) * 6 * 4
+    box_bytes = (c + cs + css) * 6 * 4
     tri_bytes = ct * TRI_PT_F * 4
     if residency == "auto":
         # 4MB vmem cap, matching pallas_wbvh: the kernel's u_scratch +
@@ -630,6 +666,7 @@ def render_pt_mesh_pallas(
         materials=tuple(materials), bounces=bounces, rr_depth=rr_depth,
         eps=eps, cam_consts=cam_consts, n_chunks=c, n_supers=cs,
         supers_per=supers_per, tris_per_chunk=tris_per_chunk,
+        n_supers2=css, supers2_per=supers2_per,
         tris_mode=residency, boxes_flat=boxes_flat, use_rng=not interpret,
         debug=debug, with_residuals=with_residuals,
     )
@@ -652,6 +689,12 @@ def render_pt_mesh_pallas(
                 pl.BlockSpec((cs * 6,), lambda b, a: (0,),
                              memory_space=pltpu.SMEM)
             )
+        if css:
+            inputs.append(ssboxes.reshape(css * 6))
+            in_specs.append(
+                pl.BlockSpec((css * 6,), lambda b, a: (0,),
+                             memory_space=pltpu.SMEM)
+            )
     else:
         inputs.append(cboxes)
         in_specs.append(
@@ -661,6 +704,12 @@ def render_pt_mesh_pallas(
             inputs.append(sboxes)
             in_specs.append(
                 pl.BlockSpec((cs, 6), lambda b, a: (0, 0),
+                             memory_space=pltpu.VMEM)
+            )
+        if css:
+            inputs.append(ssboxes)
+            in_specs.append(
+                pl.BlockSpec((css, 6), lambda b, a: (0, 0),
                              memory_space=pltpu.VMEM)
             )
     if residency == "smem":
@@ -689,7 +738,8 @@ def render_pt_mesh_pallas(
         inputs.append(tris_rows.reshape(c, 8, 128))
         in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
 
-    flags_lanes = -(-max(cs if cs else c, 128) // 128) * 128
+    top = css if css else (cs if cs else c)
+    flags_lanes = -(-max(top, 128) // 128) * 128
     scratch = [
         pltpu.VMEM((3 * bounces, 8, tile // 8), jnp.float32),
         pltpu.VMEM((8, flags_lanes), jnp.float32),
@@ -697,6 +747,8 @@ def render_pt_mesh_pallas(
     ]
     if cs:
         scratch.append(pltpu.SMEM((cs,), jnp.int32))
+    if css:
+        scratch.append(pltpu.SMEM((css,), jnp.int32))
     if residency == "hbm":
         scratch.append(pltpu.VMEM((2, 8, 128), jnp.float32))
         scratch.append(pltpu.SemaphoreType.DMA((2,)))

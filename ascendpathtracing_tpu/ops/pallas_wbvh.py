@@ -73,6 +73,10 @@ class ChunkGrid:
     cboxes:  [C, 6]  chunk AABBs (minx miny minz maxx maxy maxz)
     sboxes:  [Cs, 6] superchunk AABBs over groups of `supers_per` chunks
              (Cs == 0 disables the super level)
+    ssboxes: [Css, 6] super-superchunk AABBs over groups of
+             `supers2_per` superchunks (Css == 0 disables the third
+             level; it is what takes phase A past ~1M triangles —
+             O(Css + hit*16 + hit*16) slab tests instead of O(Cs))
     tris:    [C*T, TRI_F] precomputed-plane rows in chunk order, 0-padded
     face_of_slot: [C*T] i32 original face index per slot (-1 for pads)
     """
@@ -83,6 +87,10 @@ class ChunkGrid:
     face_of_slot: np.ndarray
     tris_per_chunk: int
     supers_per: int
+    ssboxes: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 6), np.float32)
+    )
+    supers2_per: int = 0
 
     @property
     def n_chunks(self) -> int:
@@ -91,6 +99,10 @@ class ChunkGrid:
     @property
     def n_supers(self) -> int:
         return int(self.sboxes.shape[0])
+
+    @property
+    def n_supers2(self) -> int:
+        return int(self.ssboxes.shape[0])
 
 
 def triangle_rows(vertices: np.ndarray, faces: np.ndarray) -> np.ndarray:
@@ -121,6 +133,7 @@ def build_chunk_grid(
     *,
     tris_per_chunk: int = 32,
     supers_per: int = 0,
+    supers2_per: int = 0,
 ) -> ChunkGrid:
     """Median-split triangle partition into fixed-size chunks.
 
@@ -174,20 +187,55 @@ def build_chunk_grid(
         cboxes[ci, 0:3] = 1.0
         cboxes[ci, 3:6] = -1.0
 
-    if supers_per:
-        cs = c_pad // supers_per
-        sboxes = np.empty((cs, 6), np.float32)
-        for si in range(cs):
-            grp = cboxes[si * supers_per : (si + 1) * supers_per]
+    def group_boxes(boxes, per):
+        """AABBs over consecutive groups of `per` boxes, the input
+        padded to a multiple of `per` with inverted (never-hit) boxes."""
+        n = boxes.shape[0]
+        n_pad = -(-n // per) * per
+        if n_pad != n:
+            pad = np.empty((n_pad - n, 6), np.float32)
+            pad[:, 0:3] = 1.0
+            pad[:, 3:6] = -1.0
+            boxes = np.concatenate([boxes, pad], 0)
+        out = np.empty((n_pad // per, 6), np.float32)
+        for gi in range(n_pad // per):
+            grp = boxes[gi * per : (gi + 1) * per]
             real = grp[:, 0] <= grp[:, 3]
             if real.any():
-                sboxes[si, 0:3] = grp[real, 0:3].min(axis=0)
-                sboxes[si, 3:6] = grp[real, 3:6].max(axis=0)
+                out[gi, 0:3] = grp[real, 0:3].min(axis=0)
+                out[gi, 3:6] = grp[real, 3:6].max(axis=0)
             else:
-                sboxes[si, 0:3] = 1.0
-                sboxes[si, 3:6] = -1.0
+                out[gi, 0:3] = 1.0
+                out[gi, 3:6] = -1.0
+        return boxes, out
+
+    if supers_per:
+        _, sboxes = group_boxes(cboxes, supers_per)
     else:
         sboxes = np.zeros((0, 6), np.float32)
+    if supers2_per:
+        if not supers_per:
+            raise ValueError("supers2_per requires supers_per")
+        if supers2_per > 128:
+            raise ValueError("supers2_per must be <= 128")
+        sboxes, ssboxes = group_boxes(sboxes, supers2_per)
+        # chunk arrays must cover the padded super count (clist indexes
+        # run to n_supers * supers_per)
+        c_full = sboxes.shape[0] * supers_per
+        if c_full != cboxes.shape[0]:
+            extra = c_full - cboxes.shape[0]
+            padc = np.empty((extra, 6), np.float32)
+            padc[:, 0:3] = 1.0
+            padc[:, 3:6] = -1.0
+            cboxes = np.concatenate([cboxes, padc], 0)
+            tris = np.concatenate(
+                [tris, np.zeros((extra * T, TRI_F), np.float32)], 0
+            )
+            face_of_slot = np.concatenate(
+                [face_of_slot, np.full((extra * T,), -1, np.int32)], 0
+            )
+    else:
+        ssboxes = np.zeros((0, 6), np.float32)
 
     return ChunkGrid(
         cboxes=cboxes,
@@ -196,6 +244,8 @@ def build_chunk_grid(
         face_of_slot=face_of_slot,
         tris_per_chunk=T,
         supers_per=supers_per,
+        ssboxes=ssboxes,
+        supers2_per=supers2_per,
     )
 
 
@@ -290,25 +340,50 @@ def compact_worklist(
     n_chunks,
     n_supers,
     supers_per,
+    sslist_ref=None,   # SMEM [n_supers2] (3-level mode)
+    ssbox=None,        # ssbox(i, k) or None
+    n_supers2=0,
+    supers2_per=0,
 ):
     """Phases A+Sync+Compact shared by the traversal and fused-PT kernels:
     slab-test boxes lanes-wide into the (8, 128)-blocked ``flags_ref``,
     collapse to per-box scalars with ONE sublane reduce per block, then
     scalar-core-compact hit chunk ids into ``clist_ref``.  Two-level when
     ``n_supers``: supers gate, then only hit supers' chunks are tested.
+    Three-level when ``n_supers2``: super-supers gate the supers first —
+    the static-unrolled top scan shrinks from O(n_supers) to
+    O(n_supers2) slab tests, which is what carries phase A past ~1M
+    triangles (5,120 unrolled tests/tile/bounce otherwise).
     Returns the worklist length ``k`` (traced i32)."""
     f32 = jnp.float32
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
 
-    if not n_supers:
-        for g in range(0, n_chunks, 128):
+    def scan_static(box, n):
+        """Static-unrolled slab scan of boxes 0..n into flags."""
+        for g in range(0, n, 128):
             acc = jnp.zeros((8, 128), f32)
-            for cl in range(min(128, n_chunks - g)):
-                m = jnp.max(slab(cbox, g + cl).astype(f32), axis=1, keepdims=True)
-                acc = jnp.where(lane == cl, m, acc)
+            for bl in range(min(128, n - g)):
+                m = jnp.max(slab(box, g + bl).astype(f32), axis=1,
+                            keepdims=True)
+                acc = jnp.where(lane == bl, m, acc)
             flags_ref[:, g : g + 128] = acc
         flags_ref[0:1, :] = jnp.max(flags_ref[:, :], axis=0, keepdims=True)
 
+    def scan_group(box, base, per):
+        """Unrolled slab scan of boxes base..base+per (traced base) into
+        flags[:, 0:128]; per <= 128."""
+        acc = jnp.zeros((8, 128), f32)
+        for bl in range(per):
+            m = jnp.max(slab(box, base + bl).astype(f32), axis=1,
+                        keepdims=True)
+            acc = jnp.where(lane == bl, m, acc)
+        flags_ref[:, 0:128] = acc
+        flags_ref[0:1, 0:128] = jnp.max(
+            flags_ref[:, 0:128], axis=0, keepdims=True
+        )
+
+    if not n_supers:
+        scan_static(cbox, n_chunks)
         k = jnp.int32(0)
         for c in range(n_chunks):
             hit_c = flags_ref[0, c] > 0.0
@@ -316,31 +391,41 @@ def compact_worklist(
             k = k + jnp.where(hit_c, 1, 0).astype(jnp.int32)
         return k
 
-    # two-level: supers first (static unroll), then the chunks of each hit
-    # super (fori over the compacted super list; chunk box reads use
-    # traced indices — scalar loads take those fine)
-    for g in range(0, n_supers, 128):
-        acc = jnp.zeros((8, 128), f32)
-        for sl in range(min(128, n_supers - g)):
-            m = jnp.max(slab(sbox, g + sl).astype(f32), axis=1, keepdims=True)
-            acc = jnp.where(lane == sl, m, acc)
-        flags_ref[:, g : g + 128] = acc
-    flags_ref[0:1, :] = jnp.max(flags_ref[:, :], axis=0, keepdims=True)
+    if n_supers2:
+        # level 2: super-supers (static unroll) -> sslist
+        scan_static(ssbox, n_supers2)
+        kss = jnp.int32(0)
+        for s2 in range(n_supers2):
+            hit_s2 = flags_ref[0, s2] > 0.0
+            sslist_ref[kss] = jnp.int32(s2)
+            kss = kss + jnp.where(hit_s2, 1, 0).astype(jnp.int32)
 
-    ks = jnp.int32(0)
-    for s in range(n_supers):
-        hit_s = flags_ref[0, s] > 0.0
-        slist_ref[ks] = jnp.int32(s)
-        ks = ks + jnp.where(hit_s, 1, 0).astype(jnp.int32)
+        # level 1: the supers of each hit super-super -> slist
+        def ss_body(i, ks):
+            base_s = sslist_ref[i] * supers2_per
+            scan_group(sbox, base_s, supers2_per)
+            for sl in range(supers2_per):
+                hit_s = flags_ref[0, sl] > 0.0
+                slist_ref[ks] = base_s + sl
+                ks = ks + jnp.where(hit_s, 1, 0).astype(jnp.int32)
+            return ks
 
+        ks = jax.lax.fori_loop(0, kss, ss_body, jnp.int32(0))
+    else:
+        # level 1 only: supers (static unroll) -> slist
+        scan_static(sbox, n_supers)
+        ks = jnp.int32(0)
+        for s in range(n_supers):
+            hit_s = flags_ref[0, s] > 0.0
+            slist_ref[ks] = jnp.int32(s)
+            ks = ks + jnp.where(hit_s, 1, 0).astype(jnp.int32)
+
+    # level 0: the chunks of each hit super -> clist (fori over the
+    # compacted super list; chunk box reads use traced indices — scalar
+    # loads take those fine)
     def super_body(i, k):
         base_c = slist_ref[i] * supers_per
-        acc = jnp.zeros((8, 128), f32)
-        for cl in range(supers_per):
-            m = jnp.max(slab(cbox, base_c + cl).astype(f32), axis=1, keepdims=True)
-            acc = jnp.where(lane == cl, m, acc)
-        flags_ref[:, 0:128] = acc
-        flags_ref[0:1, 0:128] = jnp.max(flags_ref[:, 0:128], axis=0, keepdims=True)
+        scan_group(cbox, base_c, supers_per)
         for cl in range(supers_per):
             hit_c = flags_ref[0, cl] > 0.0
             clist_ref[k] = base_c + cl
@@ -432,15 +517,19 @@ def _wbvh_kernel(
     tri_stride=TRI_F,
     with_attrs=False,  # also emit the winner's shading attributes
     debug=False,  # per-tile worklist-length kernel_dump (device printf)
+    n_supers2=0,
+    supers2_per=0,
 ):
-    """Refs (in order): cboxes, [sboxes], tris, rays, tmin_out, hit_out,
-    [11 attr outs], flags (VMEM scratch), clist (SMEM), [slist (SMEM)],
-    [tri_scratch, dma_sem] (hbm mode)."""
+    """Refs (in order): cboxes, [sboxes], [ssboxes], tris, rays,
+    tmin_out, hit_out, [11 attr outs], flags (VMEM scratch), clist
+    (SMEM), [slist (SMEM)], [sslist (SMEM)], [tri_scratch, dma_sem]
+    (hbm mode)."""
     f32 = jnp.float32
     T = tris_per_chunk
     it = iter(refs)
     cboxes_ref = next(it)
     sboxes_ref = next(it) if n_supers else None
+    ssboxes_ref = next(it) if n_supers2 else None
     tris_ref = next(it)
     rays_ref = next(it)
     tmin_ref = next(it)
@@ -449,6 +538,7 @@ def _wbvh_kernel(
     flags_ref = next(it)
     clist_ref = next(it)
     slist_ref = next(it) if n_supers else None
+    sslist_ref = next(it) if n_supers2 else None
     if tris_mode == "hbm":
         tscratch_ref = next(it)
         dsem_ref = next(it)
@@ -456,9 +546,11 @@ def _wbvh_kernel(
     if boxes_flat:
         cbox = lambda c, k: cboxes_ref[c * 6 + k]
         sbox = (lambda s, k: sboxes_ref[s * 6 + k]) if n_supers else None
+        ssbox = (lambda s, k: ssboxes_ref[s * 6 + k]) if n_supers2 else None
     else:
         cbox = lambda c, k: cboxes_ref[c, k]
         sbox = (lambda s, k: sboxes_ref[s, k]) if n_supers else None
+        ssbox = (lambda s, k: ssboxes_ref[s, k]) if n_supers2 else None
 
     ox = rays_ref[0, 0]
     oy = rays_ref[1, 0]
@@ -482,6 +574,8 @@ def _wbvh_kernel(
     k = compact_worklist(
         flags_ref, clist_ref, slist_ref, slab_idx, cbox, sbox,
         n_chunks=n_chunks, n_supers=n_supers, supers_per=supers_per,
+        sslist_ref=sslist_ref, ssbox=ssbox, n_supers2=n_supers2,
+        supers2_per=supers2_per,
     )
     if debug:
         # the rt_helper.h:17-48 DumpTensor analogue: per-tile worklist
@@ -555,8 +649,8 @@ def _wbvh_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "tris_per_chunk", "supers_per", "eps", "tile", "residency",
-        "boxes_residency", "attrs", "interpret", "debug",
+        "tris_per_chunk", "supers_per", "supers2_per", "eps", "tile",
+        "residency", "boxes_residency", "attrs", "interpret", "debug",
     ),
 )
 def intersect_chunks_pallas(
@@ -564,9 +658,11 @@ def intersect_chunks_pallas(
     cboxes,  # [C, 6] f32
     sboxes,  # [Cs, 6] f32 (Cs == 0: single level)
     tris,  # [C*T, TRI_F] f32 (or [C*T, TRI_ATTR_F] with attrs=True)
+    ssboxes=None,  # [Css, 6] f32 (third level; None/empty disables)
     *,
     tris_per_chunk: int = 32,
     supers_per: int = 0,
+    supers2_per: int = 0,
     eps: float = 1e-4,
     tile: int = 2048,
     residency: str = "auto",  # auto | smem | vmem | hbm
@@ -586,6 +682,9 @@ def intersect_chunks_pallas(
     n = rays_planes.shape[1]
     c = cboxes.shape[0]
     cs = sboxes.shape[0]
+    if ssboxes is None:
+        ssboxes = jnp.zeros((0, 6), jnp.float32)
+    css = ssboxes.shape[0]
     ct = tris.shape[0]
     if tile % 1024:
         raise ValueError(f"{tile=} must be a multiple of 1024")
@@ -593,13 +692,15 @@ def intersect_chunks_pallas(
         raise ValueError(f"ray count {n} not divisible by {tile=}")
     if cs and cs * supers_per != c:
         raise ValueError("sboxes/supers_per inconsistent with chunk count")
+    if css and (not cs or css * supers2_per != cs):
+        raise ValueError("ssboxes/supers2_per inconsistent with super count")
     nb = n // tile
     lanes = tile // 8
     stride = tris.shape[1]
     if attrs and stride != TRI_ATTR_F:
         raise ValueError(f"attrs=True needs [C*T, {TRI_ATTR_F}] rows")
 
-    box_bytes = (c + cs) * 6 * 4
+    box_bytes = (c + cs + css) * 6 * 4
     tri_bytes = ct * stride * 4
     if residency == "auto":
         # vmem cap is 4MB, not the full 16MB scoped budget: with
@@ -629,6 +730,8 @@ def intersect_chunks_pallas(
         tri_stride=stride,
         with_attrs=attrs,
         debug=debug,
+        n_supers2=css,
+        supers2_per=supers2_per,
     )
 
     inputs = []
@@ -643,6 +746,12 @@ def intersect_chunks_pallas(
             in_specs.append(
                 pl.BlockSpec((cs * 6,), lambda b: (0,), memory_space=pltpu.SMEM)
             )
+        if css:
+            inputs.append(ssboxes.reshape(css * 6))
+            in_specs.append(
+                pl.BlockSpec((css * 6,), lambda b: (0,),
+                             memory_space=pltpu.SMEM)
+            )
     else:
         inputs.append(cboxes)
         in_specs.append(
@@ -652,6 +761,12 @@ def intersect_chunks_pallas(
             inputs.append(sboxes)
             in_specs.append(
                 pl.BlockSpec((cs, 6), lambda b: (0, 0), memory_space=pltpu.VMEM)
+            )
+        if css:
+            inputs.append(ssboxes)
+            in_specs.append(
+                pl.BlockSpec((css, 6), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM)
             )
     if residency == "smem":
         inputs.append(tris.reshape(ct * stride))
@@ -683,13 +798,18 @@ def intersect_chunks_pallas(
                      memory_space=pltpu.VMEM)
     )
 
-    flags_lanes = -(-max(cs if cs else c, 128) // 128) * 128
+    # flags covers the largest STATIC scan: the top level of the
+    # hierarchy (the traced group scans reuse flags[:, 0:128])
+    top = css if css else (cs if cs else c)
+    flags_lanes = -(-max(top, 128) // 128) * 128
     scratch = [
         pltpu.VMEM((8, flags_lanes), jnp.float32),
         pltpu.SMEM((c,), jnp.int32),
     ]
     if cs:
         scratch.append(pltpu.SMEM((cs,), jnp.int32))
+    if css:
+        scratch.append(pltpu.SMEM((css,), jnp.int32))
     if residency == "hbm":
         scratch.append(pltpu.VMEM((2, 8, 128), jnp.float32))
         scratch.append(pltpu.SemaphoreType.DMA((2,)))

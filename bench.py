@@ -145,9 +145,9 @@ def main(argv=None) -> int:
                 def run(seed):
                     return mpt.render_pt_mesh_pallas(
                         planes, cb, sb, t24, width=w, height=h, spp4=spp4,
-                        materials=mats, tris_per_chunk=grid.tris_per_chunk,
-                        supers_per=grid.supers_per, bounces=args.bounces,
+                        materials=mats, bounces=args.bounces,
                         rr_depth=5, tile=args.tile, seed=seed,
+                        **mpt.pt_tables_kwargs(grid),
                     )
 
                 label = "pallas-mesh fused"
@@ -162,9 +162,9 @@ def main(argv=None) -> int:
                 render_d = dmf.make_render_pt_mesh_pallas_diff(
                     cb, sb, t24j[:, :16], t24j[:, 22:24], width=w,
                     height=h, spp4=spp4, materials=mats,
-                    tris_per_chunk=grid.tris_per_chunk,
-                    supers_per=grid.supers_per, bounces=args.bounces,
+                    bounces=args.bounces,
                     rr_depth=5, tile=args.tile,
+                    **mpt.pt_tables_kwargs(grid),
                 )
                 alb0 = t24j[:, 16:19]
                 emi0 = t24j[:, 19:22]

@@ -55,6 +55,10 @@ def main(argv=None) -> int:
                    help="superchunk group size; 'auto' = 16 once the "
                    "chunk count reaches 128 (the models/mesh.py and "
                    "mesh_pt_tables production rule), 0 disables")
+    p.add_argument("--supers2-per", default="auto",
+                   help="super-superchunk group size (third level); "
+                   "'auto' = 16 once the super count reaches 256 "
+                   "(mesh_pt_tables rule), 0 disables")
     p.add_argument("--residency", default="auto",
                    choices=["auto", "smem", "vmem", "hbm"])
     args = p.parse_args(argv)
@@ -221,21 +225,32 @@ def main(argv=None) -> int:
             supers_per = 16 if n_ch_est >= 128 else 0
         else:
             supers_per = int(args.supers_per)
+        if args.supers2_per == "auto":
+            # third level once the super count reaches 256 (the
+            # mesh_pt_tables rule) — carries phase A past ~1M tris
+            n_s_est = (-(-(-(-f.shape[0] // args.chunk_tris)) //
+                         supers_per) if supers_per else 0)
+            supers2_per = 16 if n_s_est >= 256 else 0
+        else:
+            supers2_per = int(args.supers2_per)
         grid = pallas_wbvh.build_chunk_grid(
-            v32, f, tris_per_chunk=args.chunk_tris, supers_per=supers_per
+            v32, f, tris_per_chunk=args.chunk_tris, supers_per=supers_per,
+            supers2_per=supers2_per,
         )
         cb, sb, t13, _fos = pallas_wbvh.chunk_grid_to_device(grid)
+        ssb = jnp.asarray(grid.ssboxes) if grid.n_supers2 else None
 
         @jax.jit
         def step_chunks(r):
             return pallas_wbvh.intersect_chunks_pallas(
-                r, cb, sb, t13, tris_per_chunk=args.chunk_tris,
-                supers_per=grid.supers_per, tile=args.chunk_tile,
-                residency=args.residency,
+                r, cb, sb, t13, ssb, tris_per_chunk=args.chunk_tris,
+                supers_per=grid.supers_per, supers2_per=grid.supers2_per,
+                tile=args.chunk_tile, residency=args.residency,
             )
 
         det = {"kernel": "chunks", "tris": int(f.shape[0]),
                "chunks": grid.n_chunks, "supers": grid.n_supers,
+               "supers2": grid.n_supers2,
                "tile": args.chunk_tile, "residency": args.residency}
         for (nm, r), (rnp, sms) in zip(
             cases + sorted_cases,

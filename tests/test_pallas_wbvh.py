@@ -143,3 +143,60 @@ def test_ray_sort_keys_6d_groups_direction():
     groups = (np.arange(n)[order] < half)
     # one transition between the two direction groups
     assert np.abs(np.diff(groups.astype(int))).sum() == 1
+
+
+def test_three_level_matches_flat_and_builder_invariants():
+    """The super-superchunk third level (VERDICT r3 ask 2) must be a
+    pure phase-A optimization: first-hit FACES and tmin identical to the
+    flat scan, and the builder's ss grouping covers every live slot."""
+    v, f = meshes.icosphere(subdivisions=3)  # 1280 tris
+    v32 = np.asarray(v, np.float32)
+    rays = _rays(1024)
+    g_flat = W.build_chunk_grid(v32, f, tris_per_chunk=8, supers_per=0)
+    g3 = W.build_chunk_grid(v32, f, tris_per_chunk=8, supers_per=4,
+                            supers2_per=4)
+    assert g3.n_supers2 == -(-g3.n_supers // 4)
+    assert g3.n_chunks == g3.n_supers * 4
+    live = g3.face_of_slot[g3.face_of_slot >= 0]
+    assert sorted(live.tolist()) == list(range(f.shape[0]))
+
+    outs = []
+    for g in (g_flat, g3):
+        tmin, hit = W.intersect_chunks_pallas(
+            rays, jnp.asarray(g.cboxes), jnp.asarray(g.sboxes),
+            jnp.asarray(g.tris),
+            jnp.asarray(g.ssboxes) if g.n_supers2 else None,
+            tris_per_chunk=8, supers_per=g.supers_per,
+            supers2_per=g.supers2_per, tile=1024, interpret=True,
+        )
+        tmin = np.asarray(tmin)
+        face = np.where(tmin < 1e19, g.face_of_slot[np.asarray(hit)], -1)
+        outs.append((tmin, face))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    np.testing.assert_array_equal(outs[0][1], outs[1][1])
+
+
+def test_three_level_ragged_ss_padding():
+    """A super count NOT divisible by supers2_per exercises the builder's
+    inverted-box padding of sboxes AND the chunk/tris extension."""
+    v, f = meshes.icosphere(subdivisions=2)  # 320 tris
+    v32 = np.asarray(v, np.float32)
+    g = W.build_chunk_grid(v32, f, tris_per_chunk=8, supers_per=4,
+                           supers2_per=8)
+    # supers padded to a multiple of 8; chunks/tris extended to match
+    assert g.n_supers % 8 == 0
+    assert g.n_chunks == g.n_supers * 4
+    assert g.tris.shape[0] == g.n_chunks * 8
+    rays = _rays(1024)
+    tmin3, hit3 = W.intersect_chunks_pallas(
+        rays, jnp.asarray(g.cboxes), jnp.asarray(g.sboxes),
+        jnp.asarray(g.tris), jnp.asarray(g.ssboxes),
+        tris_per_chunk=8, supers_per=4, supers2_per=8, tile=1024,
+        interpret=True,
+    )
+    bt, _ = _brute(v32, f, rays)
+    tmin3 = np.asarray(tmin3)
+    hitm = bt < 1e19
+    assert ((tmin3 >= 1e19) == ~hitm).all()
+    if hitm.any():
+        assert np.abs(tmin3[hitm] - bt[hitm]).max() < 1e-3
