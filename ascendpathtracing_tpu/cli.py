@@ -60,6 +60,10 @@ def _parse_args(argv):
                    help="firefly clamp: bound per-sample luminance (0 = off)")
     r.add_argument("--check-finite", action="store_true",
                    help="fail if the render produced NaN/Inf")
+    r.add_argument("--shard", type=int, default=0, metavar="N",
+                   help="data-parallel the render over an N-device mesh "
+                   "and assemble the image to host 0 (reference mode, "
+                   "jit renderer; N must divide the ray count)")
     r.add_argument("--oracle", action="store_true", help="also run the NumPy oracle and report parity")
 
     t = sub.add_parser(
@@ -262,7 +266,21 @@ def cmd_render(args) -> int:
             interpret=(jax.default_backend() == "cpu"),
         )
     elif args.mode == "reference":
-        colors = megakernel.render_reference(rays, dev, bounces=args.bounces)
+        if args.shard:
+            # DP-sharded render + host-0 assembly (SURVEY §5: all_gather
+            # of rendered tiles to host 0; parallel/assembly.py)
+            from ascendpathtracing_tpu import parallel as par
+
+            mesh = par.make_mesh(args.shard)
+            colors_sh = par.render_reference_sharded(
+                par.shard_rays(rays, mesh), dev, mesh,
+                bounces=args.bounces,
+            )
+            colors = par.gather_colors(colors_sh)
+        else:
+            colors = megakernel.render_reference(
+                rays, dev, bounces=args.bounces
+            )
     elif mesh_scene is not None:
         from ascendpathtracing_tpu.models import mesh as mesh_mod
 

@@ -20,6 +20,10 @@ inter-core communication.  Here parallelism is first-class (SURVEY §2.5):
   (``distributed.py``).
 """
 
+from ascendpathtracing_tpu.parallel.assembly import (
+    assemble_ppm_host0,
+    gather_colors,
+)
 from ascendpathtracing_tpu.parallel.mesh import make_mesh, mesh_shape_for
 from ascendpathtracing_tpu.parallel.sharded import (
     make_train_step,
@@ -30,6 +34,8 @@ from ascendpathtracing_tpu.parallel.sharded import (
 )
 
 __all__ = [
+    "assemble_ppm_host0",
+    "gather_colors",
     "make_mesh",
     "mesh_shape_for",
     "make_train_step",

@@ -87,14 +87,19 @@ def make_global_mesh(model_parallel=None):
 def host_local_rays(rays_global: np.ndarray, mesh):
     """Build a globally-sharded ray array from per-host NumPy data.
 
-    Each process passes the FULL logical array (cheap at these sizes) or
-    its local shard; uses ``jax.make_array_from_process_local_data`` so
-    only the local shard is transferred to that host's devices.
+    Each process passes the FULL logical array (cheap at these sizes);
+    ``jax.make_array_from_process_local_data`` with an explicit
+    ``global_shape`` slices out and transfers only this host's shard.
+    (Without global_shape the API treats the input as the LOCAL portion
+    and a 2-process job silently doubled the ray axis — caught by the
+    first real multi-process run, tests/test_multiprocess.py.)
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     sharding = NamedSharding(mesh, P(("data", "model"), None))
-    return jax.make_array_from_process_local_data(sharding, rays_global)
+    return jax.make_array_from_process_local_data(
+        sharding, rays_global, global_shape=rays_global.shape
+    )
 
 
 def process_info():
