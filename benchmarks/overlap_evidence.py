@@ -114,6 +114,23 @@ def main(argv=None) -> int:
         loss, params2 = step(params, aux, rays_sh, target_sh)
         jax.block_until_ready(loss)
 
+    # what this run PROVED (the schema distinguishes existence from
+    # overlap — VERDICT r3 ask 6): on a multi-chip TPU backend the async
+    # start/done pairs with compute between them ARE the overlap claim,
+    # so their absence there is a FAILURE, not a footnote.  On CPU (or
+    # one chip) XLA legitimately lowers the collective synchronously and
+    # the artifact can only prove the collective exists.
+    on_multichip_tpu = jax.default_backend() == "tpu" and n_dev >= 2
+    if on_multichip_tpu:
+        proved = (
+            "overlap" if (async_pairs > 0 and mean_window > 0)
+            else "NOTHING — async pairs expected on this backend"
+        )
+        ok = n_allreduce > 0 and async_pairs > 0 and mean_window > 0
+    else:
+        proved = "existence"
+        ok = n_allreduce > 0
+
     artifact = {
         "backend": jax.default_backend(),
         "devices": n_dev,
@@ -125,20 +142,24 @@ def main(argv=None) -> int:
         "collective_is_compiler_inserted": n_allreduce > 0,
         "loss_finite": bool(np.isfinite(float(loss))),
         "tpu_async_flags": TPU_ASYNC_FLAGS,
+        "proved": proved,
+        "ok": ok,
         "note": (
-            "Single-chip TPU cannot time real ICI overlap; this artifact "
-            "proves the GSPMD all-reduce exists in the optimized module "
-            "and records the async start/done structure for the backend "
-            "it ran on.  On a pod slice, parallel.distributed.initialize "
-            "appends tpu_async_flags to LIBTPU_INIT_ARGS — re-generate "
-            "there for the hardware overlap-window numbers."
+            "proved='existence': a CPU/1-chip run can only show the "
+            "GSPMD all-reduce in the optimized module (XLA lowers it "
+            "synchronously there).  proved='overlap' requires a "
+            "multi-chip TPU run with async start/done pairs and "
+            "instructions scheduled inside the window; on such a "
+            "backend ok=false if overlap never materialized.  "
+            "parallel.distributed.initialize appends tpu_async_flags to "
+            "LIBTPU_INIT_ARGS on pods."
         ),
     }
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as fh:
         json.dump(artifact, fh, indent=1)
     print(json.dumps(artifact))
-    return 0
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":
