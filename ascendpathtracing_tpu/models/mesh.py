@@ -46,6 +46,7 @@ class StaticConf(NamedTuple):
     # indices cost ~35 ms EACH on v5e; carriers make the whole render
     # gather-free).
     diff: bool = False
+    supers2_per: int = 0  # third phase-A level (>=1M-tri scenes)
 
 
 @dataclasses.dataclass
@@ -111,10 +112,17 @@ def mesh_scene_to_device(
         # single-level slab unroll stops being trivial
         n_ch_est = -(-f.shape[0] // tris_per_chunk)
         supers_per = 16 if n_ch_est >= 128 else 0
+        # third level once the super count reaches 256 (same rule as
+        # pallas_mesh_pt.mesh_pt_tables — carries phase A past ~1M tris)
+        n_s_est = -(-n_ch_est // supers_per) if supers_per else 0
+        supers2_per = 16 if n_s_est >= 256 else 0
         grid = wbvh_mod.build_chunk_grid(
-            v, f, tris_per_chunk=tris_per_chunk, supers_per=supers_per
+            v, f, tris_per_chunk=tris_per_chunk, supers_per=supers_per,
+            supers2_per=supers2_per,
         )
         cb, sb, _t13, _fos = wbvh_mod.chunk_grid_to_device(grid)
+        ssb = (jnp.asarray(grid.ssboxes) if grid.n_supers2
+               else jnp.zeros((0, 6), jnp.float32))
         t24 = jnp.asarray(wbvh_mod.attr_triangle_rows(
             grid, ms.face_albedo, ms.face_emission, ms.face_material,
             diff_code=DIFF, refr_code=REFR,
@@ -144,11 +152,12 @@ def mesh_scene_to_device(
             "f_material": jnp.asarray(mat, jnp.int32),
             "bvh": None,
             "pallas_bvh": None,
-            "wbvh": (cb, sb, t24),
+            "wbvh": (cb, sb, t24, ssb),
             "wbvh_bounds": (lo, hi),
             "face_of_slot": jnp.asarray(grid.face_of_slot),
             "static": StaticConf("chunks", 0, grid.tris_per_chunk,
-                                 grid.supers_per, diff),
+                                 grid.supers_per, diff,
+                                 grid.supers2_per),
             "max_leaf": 0,  # back-compat key, stripped before jit
         }
 
@@ -256,11 +265,12 @@ def _mesh_hit(o3, d3, dev, eps, static: StaticConf, sort=True):
             rp = jnp.pad(rp, ((0, 0), (0, n_pad - n)))
         attrs = None
         if static.traversal == "chunks":
-            cb, sb, t24 = dev["wbvh"]
+            cb, sb, t24, ssb = dev["wbvh"]
             out = wbvh_mod.intersect_chunks_pallas(
-                rp.astype(jnp.float32), cb, sb, t24,
+                rp.astype(jnp.float32), cb, sb, t24, ssb,
                 tris_per_chunk=static.tris_per_chunk,
-                supers_per=static.supers_per, eps=eps, tile=tile,
+                supers_per=static.supers_per,
+                supers2_per=static.supers2_per, eps=eps, tile=tile,
                 attrs=with_attrs, interpret=interpret,
             )
             if with_attrs:

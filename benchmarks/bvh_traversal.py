@@ -110,32 +110,41 @@ def main(argv=None) -> int:
 
     def oracle_check(rays_np, tmin_np, face_np):
         """Brute-force f64 Moller-style hit for the subsample; returns
-        (ok, max_rel_err) on shared hits and set equality."""
+        (ok, max_rel_err) on shared hits and set equality.  Chunked over
+        FACES with a running (min, argmin) carrier: the unchunked form
+        materialized an [F, 3, 512] f64 temp — 16 GB at subdiv 8."""
         o_s = rays_np[0:3, sub_idx].astype(np.float64)
         d_s = rays_np[3:6, sub_idx].astype(np.float64)
-        v0 = tri64[:, 0][:, :, None]
-        e1 = (tri64[:, 1] - tri64[:, 0])[:, :, None]
-        e2 = (tri64[:, 2] - tri64[:, 0])[:, :, None]
-        nrm = np.cross(tri64[:, 1] - tri64[:, 0], tri64[:, 2] - tri64[:, 0])
-        with np.errstate(divide="ignore", invalid="ignore"):
-            nd = np.einsum("fk,kn->fn", nrm, d_s)
-            no = np.einsum("fk,kn->fn", nrm, o_s)
-            d0 = np.einsum("fk,fk->f", nrm, tri64[:, 0])
-            t = (d0[:, None] - no) / nd
-            w = (o_s[None] - v0) + t[:, None, :] * d_s[None]
-            # barycentric via the same s1/s2 axes the kernels use
-            e2xn = np.cross(tri64[:, 2] - tri64[:, 0], nrm)
-            e1xn = np.cross(tri64[:, 1] - tri64[:, 0], nrm)
-            den1 = np.einsum("fk,fk->f", tri64[:, 1] - tri64[:, 0], e2xn)
-            den2 = np.einsum("fk,fk->f", tri64[:, 2] - tri64[:, 0], e1xn)
-            s1 = e2xn / np.where(den1 == 0, 1, den1)[:, None]
-            s2 = e1xn / np.where(den2 == 0, 1, den2)[:, None]
-            uu = np.einsum("fk,fkn->fn", s1, w)
-            vv = np.einsum("fk,fkn->fn", s2, w)
-            ok = (uu >= 0) & (vv >= 0) & (uu + vv <= 1) & (t > 1e-4)
-            t = np.where(ok, t, 1e20)
-        bt = t.min(0)
-        bh = t.argmin(0)
+        n_sub = o_s.shape[1]
+        bt = np.full((n_sub,), 1e20)
+        bh = np.zeros((n_sub,), np.int64)
+        FB = 65536
+        for f0 in range(0, tri64.shape[0], FB):
+            tb = tri64[f0 : f0 + FB]
+            v0 = tb[:, 0][:, :, None]
+            nrm = np.cross(tb[:, 1] - tb[:, 0], tb[:, 2] - tb[:, 0])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                nd = np.einsum("fk,kn->fn", nrm, d_s)
+                no = np.einsum("fk,kn->fn", nrm, o_s)
+                d0 = np.einsum("fk,fk->f", nrm, tb[:, 0])
+                t = (d0[:, None] - no) / nd
+                w = (o_s[None] - v0) + t[:, None, :] * d_s[None]
+                # barycentric via the same s1/s2 axes the kernels use
+                e2xn = np.cross(tb[:, 2] - tb[:, 0], nrm)
+                e1xn = np.cross(tb[:, 1] - tb[:, 0], nrm)
+                den1 = np.einsum("fk,fk->f", tb[:, 1] - tb[:, 0], e2xn)
+                den2 = np.einsum("fk,fk->f", tb[:, 2] - tb[:, 0], e1xn)
+                s1 = e2xn / np.where(den1 == 0, 1, den1)[:, None]
+                s2 = e1xn / np.where(den2 == 0, 1, den2)[:, None]
+                uu = np.einsum("fk,fkn->fn", s1, w)
+                vv = np.einsum("fk,fkn->fn", s2, w)
+                ok = (uu >= 0) & (vv >= 0) & (uu + vv <= 1) & (t > 1e-4)
+                t = np.where(ok, t, 1e20)
+            bt_b = t.min(0)
+            bh_b = t.argmin(0) + f0
+            better = bt_b < bt
+            bt = np.where(better, bt_b, bt)
+            bh = np.where(better, bh_b, bh)
         kt = tmin_np[sub_idx]
         hitm = bt < 1e19
         same_set = bool(((kt >= 1e19) == ~hitm).all())
