@@ -179,7 +179,8 @@ def main(argv=None) -> int:
 
                 label = "pallas-mesh fused fwd+bwd"
             extra = {"tris": int(f.shape[0]), "chunks": grid.n_chunks,
-                     "supers": grid.n_supers, "tile": args.tile}
+                     "supers": grid.n_supers, "supers2": grid.n_supers2,
+                     "tile": args.tile}
         elif args.renderer == "wavefront-mesh":
             from ascendpathtracing_tpu.models import wavefront as wf_mod
 
