@@ -136,6 +136,36 @@ def test_scene_only_grads_mode(setup):
     assert np.abs(ga_s).max() == 0.0 and np.abs(ge_s).max() == 0.0
 
 
+def test_inverse_rendering_recovers_face_albedo(setup):
+    """End-to-end use of the fused backward: gradient descent on the
+    mesh's slot albedos against a target image must cut the loss by an
+    order of magnitude — the mesh analogue of the CLI's sphere
+    albedo-recovery train demo, through the Pallas forward + replay
+    backward."""
+    _, planes, cb, sb, (geom16, alb_true, emi0, mat2), mats, grid, _ = setup
+    render = dmf.make_render_pt_mesh_pallas_diff(
+        cb, sb, geom16, mat2, width=W, height=H, spp4=SPP4,
+        materials=mats, tris_per_chunk=grid.tris_per_chunk,
+        supers_per=grid.supers_per, bounces=BOUNCES, rr_depth=BOUNCES,
+        tile=1024, interpret=True,
+    )
+    target = render(planes, alb_true, emi0)
+
+    def loss_fn(alb):
+        return jnp.mean((render(planes, alb, emi0) - target) ** 2)
+
+    alb = jnp.clip(alb_true * 0.4 + 0.2, 0.0, 1.0)
+    l0 = float(loss_fn(alb))
+    assert l0 > 0
+    g_fn = jax.grad(loss_fn)
+    lr = 6.0
+    for _ in range(10):
+        alb = jnp.clip(alb - lr * g_fn(alb), 0.0, 1.0)
+    l1 = float(loss_fn(alb))
+    assert np.isfinite(l1)
+    assert l1 < l0 / 5, (l0, l1)
+
+
 def test_slot_grads_to_face_roundtrip(setup):
     ms, planes, cb, sb, (geom16, alb0, emi0, mat2), mats, grid, wgt = setup
     _, loss, planes, alb0, emi0 = _make(setup)
