@@ -351,10 +351,23 @@ def first_hit_mesh_impl(rays, dev, *, eps=1e-4, static=StaticConf("brute", 0, 0,
     return tmin, kind, jnp.where(tri_closer, th, sh)
 
 
+def indexed_uniforms(key, depth, global_idx, dtype):
+    """[3, n] uniforms keyed by (bounce depth, GLOBAL ray index): the
+    counter-based stream that makes sharded renders BITWISE-equal to the
+    single-device render at ZERO extra memory — each shard derives its
+    own slice from its global indices (SURVEY §7 hard-part 6: "per-shard
+    RNG keys derived from global ray index, not from host id")."""
+    kd = jax.random.fold_in(key, depth)
+    keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(kd, global_idx)
+    return jax.vmap(
+        lambda k: jax.random.uniform(k, (3,), dtype=dtype)
+    )(keys).T
+
+
 def render_pt_mesh_impl(
     key, rays, dev, *, bounces: int = 8, rr_depth: int = 5, eps: float = 1e-4,
     static: StaticConf = StaticConf("brute", 0, 0, 0), uniforms=None,
-    sort_per_bounce: bool = False,
+    sort_per_bounce: bool = False, global_idx=None,
 ):
     """smallpt estimator over spheres + mesh. Same structure as
     megakernel.render_pt_impl with a two-way nearest-hit combine.
@@ -363,7 +376,12 @@ def render_pt_mesh_impl(
     ``jax.random`` draws with a caller-supplied stream — what makes the
     DP-sharded render (parallel/sharded.py) BIT-EQUAL to this one: the
     stream is drawn once at global size and sharded with the rays, so
-    shard boundaries cannot perturb the samples."""
+    shard boundaries cannot perturb the samples.
+
+    ``global_idx`` ([N] i32, optional) switches to the INDEXED
+    counter-based stream (:func:`indexed_uniforms`) — the production
+    bitwise-sharding mode: no materialized stream, each shard passes its
+    global ray indices."""
     o3, d3 = megakernel.rays_to_soa(rays)
     n = o3[0].shape[0]
     dtype = o3[0].dtype
@@ -387,7 +405,9 @@ def render_pt_mesh_impl(
 
     def body(depth, state):
         key, o3, d3, rad, tput, alive = state
-        if uniforms is None:
+        if global_idx is not None:
+            u = indexed_uniforms(key, depth, global_idx, dtype)
+        elif uniforms is None:
             key, k1 = jax.random.split(key)
             u = jax.random.uniform(k1, (3, n), dtype=dtype)
         else:

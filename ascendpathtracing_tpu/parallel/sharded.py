@@ -129,14 +129,22 @@ def render_pt_mesh_sharded(
     reference's 8-core block split (/root/reference/src/render.cpp:24)
     generalized to the flagship scene type (VERDICT r2 item 3).
 
-    ``bit_equal=True`` draws the whole per-bounce uniform stream ONCE at
-    global size from ``key`` — replicating render_pt_mesh's in-loop
-    ``split``/``uniform`` sequence exactly — and shards it with the
-    rays, so the result is BITWISE-EQUAL to the single-device render
-    (gated by tests/test_parallel.py).  Costs bounces*3*N floats of HBM;
-    for production-size ray counts use ``bit_equal=False``, which
-    instead folds the shard index into the key inside each shard
-    (independent per-shard streams, same estimator, no extra memory).
+    ``bit_equal``:
+
+    - ``"indexed"`` (the production bitwise mode): counter-based
+      uniforms keyed by (bounce, GLOBAL ray index) — each shard derives
+      its slice from its own indices, ZERO extra memory, and the result
+      is BITWISE-EQUAL to the single-device render called with
+      ``global_idx=arange(N)`` (models/mesh.indexed_uniforms; SURVEY §7
+      hard-part 6's prescribed design).  Gated at any size.
+    - ``True``: draws the whole per-bounce uniform stream ONCE at
+      global size from ``key`` — replicating render_pt_mesh's in-loop
+      ``split``/``uniform`` sequence exactly — and shards it with the
+      rays; bitwise vs the DEFAULT single-device stream, but costs
+      bounces*3*N floats (kept for the legacy gate).
+    - ``False``: folds the shard index into the key inside each shard
+      (independent per-shard streams, same estimator, no extra memory,
+      statistical gates only).
 
     ``mdev`` must use a shard_map-safe traversal on this backend (the
     jnp/brute paths everywhere; the Pallas chunks kernel is fine on
@@ -147,6 +155,28 @@ def render_pt_mesh_sharded(
     traced, static = mesh_mod._split_static(mdev)
     n = rays.shape[0]
     axes = ("data", "model")
+    if bit_equal == "indexed":
+        n_sh = mesh.shape["data"] * mesh.shape["model"]
+        m = n // n_sh
+
+        def body(rays_sh, scene):
+            sh = lax.axis_index("data") * mesh.shape["model"] + (
+                lax.axis_index("model")
+            )
+            gidx = sh * m + jnp.arange(m, dtype=jnp.int32)
+            return mesh_mod.render_pt_mesh_impl(
+                key, rays_sh, scene, bounces=bounces, rr_depth=rr_depth,
+                eps=eps, static=static, global_idx=gidx,
+            )
+
+        f = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(axes, None), P()),
+            out_specs=P(axes, None),
+            check_vma=False,
+        )
+        return jax.jit(f)(rays, traced)
     if bit_equal:
         # replicate _render_pt_mesh_jit's stream: carry the key through
         # per-bounce splits, draw [3, N] at each depth
