@@ -590,8 +590,37 @@ def cmd_selftest(args) -> int:
         # ~3x the measured MC floor at this sample count
         report("mesh_pt_fused_energy_vs_xla", rel < 0.03 and np.isfinite(mf),
                fused_mean=mf, xla_mean=mx, rel_diff=rel)
+
+        # 6b. Fused mesh custom-VJP on hardware: the replay backward must
+        #     produce finite, structurally-correct gradients (geometry
+        #     rows exactly zero, albedo/emission and per-face rows live).
+        #     The FD gates live in tests/test_pallas_mesh_pt_tpu.py.
+        from ascendpathtracing_tpu.diff import mesh_fused as dmf_
+
+        t24d = jnp.asarray(t24_)
+        render_d = dmf_.make_render_pt_mesh_pallas_diff(
+            cb_, sb_, t24d[:, :16], t24d[:, 22:24], width=32, height=32,
+            spp4=8, materials=mats_, bounces=4, rr_depth=3, tile=1024,
+            **{k: v for k, v in mpt.pt_tables_kwargs(grid_).items()},
+        )
+        gp_, ga_, ge_ = jax.grad(
+            lambda p, a, e: jnp.sum(render_d(p, a, e)), argnums=(0, 1, 2)
+        )(pl_.astype(jnp.float32), t24d[:, 16:19], t24d[:, 19:22])
+        gp_, ga_, ge_ = map(np.asarray, (gp_, ga_, ge_))
+        ok_vjp = (
+            np.isfinite(gp_).all() and np.isfinite(ga_).all()
+            and np.abs(gp_[0:4]).max() == 0.0
+            and np.abs(gp_[4:10]).max() > 0 and np.abs(ga_).max() > 0
+            and np.abs(ge_).max() > 0
+        )
+        report("mesh_fused_vjp_grads", ok_vjp,
+               plane_grad_max=float(np.abs(gp_).max()),
+               slot_albedo_grad_max=float(np.abs(ga_).max()),
+               geom_rows_zero=bool(np.abs(gp_[0:4]).max() == 0.0))
     else:
         print(json.dumps({"check": "mesh_pt_fused_energy_vs_xla",
+                          "skipped": "needs real TPU RNG"}))
+        print(json.dumps({"check": "mesh_fused_vjp_grads",
                           "skipped": "needs real TPU RNG"}))
 
     # 7. checkify NaN/div guards over the jit renderer: in-graph float

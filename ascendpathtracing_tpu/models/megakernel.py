@@ -265,6 +265,19 @@ render_gbuffer = jax.jit(render_gbuffer_impl, static_argnames=("eps",))
 # ------------------------------------------------------------------------
 # Full physically-based mode (north star)
 # ------------------------------------------------------------------------
+def indexed_uniforms(key, depth, global_idx, dtype):
+    """[3, n] uniforms keyed by (bounce depth, GLOBAL ray index): the
+    counter-based stream that makes sharded renders BITWISE-equal to the
+    single-device render at ZERO extra memory — each shard derives its
+    own slice from its global indices (SURVEY §7 hard-part 6: "per-shard
+    RNG keys derived from global ray index, not from host id")."""
+    kd = jax.random.fold_in(key, depth)
+    keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(kd, global_idx)
+    return jax.vmap(
+        lambda k: jax.random.uniform(k, (3,), dtype=dtype)
+    )(keys).T
+
+
 def render_pt_impl(
     key,
     rays,
@@ -274,6 +287,7 @@ def render_pt_impl(
     rr_depth: int = 5,
     eps: float = 1e-4,
     materials_static: tuple | None = None,
+    global_idx=None,
 ):
     """Full smallpt estimator: L = sum over bounces of throughput *
     emission(hit), with cosine-weighted diffuse, mirror and dielectric
@@ -303,8 +317,13 @@ def render_pt_impl(
 
     def body(depth, state):
         key, o3, d3, rad, tput, alive = state
-        key, k1 = jax.random.split(key)
-        u = jax.random.uniform(k1, (3, n), dtype=dtype)
+        if global_idx is not None:
+            # indexed counter-based stream (see indexed_uniforms): the
+            # production bitwise-sharding mode
+            u = indexed_uniforms(key, depth, global_idx, dtype)
+        else:
+            key, k1 = jax.random.split(key)
+            u = jax.random.uniform(k1, (3, n), dtype=dtype)
 
         tmin, hit, miss = default_hit_fn(o3, d3, scene, eps)
         live = alive & ~miss

@@ -351,17 +351,9 @@ def first_hit_mesh_impl(rays, dev, *, eps=1e-4, static=StaticConf("brute", 0, 0,
     return tmin, kind, jnp.where(tri_closer, th, sh)
 
 
-def indexed_uniforms(key, depth, global_idx, dtype):
-    """[3, n] uniforms keyed by (bounce depth, GLOBAL ray index): the
-    counter-based stream that makes sharded renders BITWISE-equal to the
-    single-device render at ZERO extra memory — each shard derives its
-    own slice from its global indices (SURVEY §7 hard-part 6: "per-shard
-    RNG keys derived from global ray index, not from host id")."""
-    kd = jax.random.fold_in(key, depth)
-    keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(kd, global_idx)
-    return jax.vmap(
-        lambda k: jax.random.uniform(k, (3,), dtype=dtype)
-    )(keys).T
+# re-exported for callers that found it here first; the shared
+# implementation lives beside the sphere estimator
+indexed_uniforms = megakernel.indexed_uniforms
 
 
 def render_pt_mesh_impl(

@@ -103,6 +103,32 @@ def test_sharded_mesh_render_indexed_rng_bitwise():
     np.testing.assert_array_equal(expect, got)
 
 
+def test_sphere_pt_indexed_rng_is_split_stable():
+    """The sphere PT estimator with global_idx is SPLIT-STABLE: rendering
+    any contiguous piece with its global indices reproduces the full
+    render's slice bitwise — the property that makes indexed RNG the
+    production sharding mode (megakernel.indexed_uniforms)."""
+    rays = jnp.asarray(_rays64(16, 16))
+    dev = megakernel.scene_to_device(scenes.smallpt9(), dtype=jnp.float64)
+    mats = tuple(int(m) for m in scenes.smallpt9().material)
+    key = jax.random.PRNGKey(5)
+    n = rays.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    full = np.asarray(megakernel.render_pt(
+        key, rays, dev, bounces=4, materials_static=mats, global_idx=idx
+    ))
+    h = n // 2
+    lo = np.asarray(megakernel.render_pt(
+        key, rays[:h], dev, bounces=4, materials_static=mats,
+        global_idx=idx[:h],
+    ))
+    hi = np.asarray(megakernel.render_pt(
+        key, rays[h:], dev, bounces=4, materials_static=mats,
+        global_idx=idx[h:],
+    ))
+    np.testing.assert_array_equal(full, np.concatenate([lo, hi], 0))
+
+
 def test_sharded_mesh_render_independent_rng_energy():
     """bit_equal=False (per-shard folded keys, the production-size mode)
     renders the same scene at statistically consistent energy."""
