@@ -178,3 +178,32 @@ def test_mesh_fused_custom_vjp_fd_on_chip():
     idx = np.unravel_index(np.abs(ga).argmax(), ga.shape)
     est = fd(lambda a: loss(planes32, a, emi0), alb0, idx)
     assert abs(ga[idx] - est) <= 1e-2 * max(abs(est), 1e-2), (idx, ga[idx], est)
+
+
+def test_mesh_pt_three_level_bitwise_on_chip():
+    """The fused PT kernel's 3-level phase A through Mosaic: a forced
+    super-superchunk config must render bitwise-identically to the
+    2-level config (same chunks, same tables, same seed)."""
+    import jax.numpy as jnp
+
+    from ascendpathtracing_tpu.ops import pallas_mesh_pt as mpt
+
+    ms = _scene(subdivisions=3)  # 1280 tris
+    p2 = mpt.mesh_pt_tables(ms, tris_per_chunk=8, supers_per=4,
+                            supers2_per=0)
+    p3 = mpt.mesh_pt_tables(ms, tris_per_chunk=8, supers_per=4,
+                            supers2_per=4)
+    assert p3[5].n_supers2 > 0
+
+    def render(tabs):
+        planes, cb, sb, t24, mats, grid = tabs
+        return np.asarray(mpt.render_pt_mesh_pallas(
+            planes, cb, sb, t24, width=32, height=32, spp4=8,
+            materials=mats, bounces=4, rr_depth=3, tile=1024, seed=5,
+            **mpt.pt_tables_kwargs(grid),
+        ))
+
+    img2 = render(p2)
+    img3 = render(p3)
+    assert np.isfinite(img2).all() and img2.mean() > 0
+    np.testing.assert_array_equal(img2, img3)

@@ -126,3 +126,42 @@ def test_vmem_boxes_on_chip():
     tmin = np.asarray(tmin)
     np.testing.assert_array_equal(tmin >= 1e19, ~hitm)
     np.testing.assert_allclose(tmin[hitm], bt[hitm], rtol=1e-4, atol=1e-5)
+
+
+def test_three_level_matches_brute_on_chip():
+    """The r4 super-superchunk level through REAL Mosaic (the benches
+    exercise subdiv 8; this pins a small forced-3-level config as a
+    pytest gate): hits/tmin must match brute force and the 2-level run
+    bitwise."""
+    import jax.numpy as jnp
+
+    from ascendpathtracing_tpu.ops import pallas_wbvh as W
+
+    v32, f = _scene()
+    rays = _rays()
+    bt, bh = _brute(v32, f, rays)
+    hitm = bt < 1e19
+
+    g2 = W.build_chunk_grid(v32, f, tris_per_chunk=8, supers_per=4)
+    g3 = W.build_chunk_grid(v32, f, tris_per_chunk=8, supers_per=4,
+                            supers2_per=4)
+    assert g3.n_supers2 > 0
+
+    t2 = W.intersect_chunks_pallas(
+        rays, jnp.asarray(g2.cboxes), jnp.asarray(g2.sboxes),
+        jnp.asarray(g2.tris), tris_per_chunk=8, supers_per=4, tile=1024,
+    )
+    t3 = W.intersect_chunks_pallas(
+        rays, jnp.asarray(g3.cboxes), jnp.asarray(g3.sboxes),
+        jnp.asarray(g3.tris), jnp.asarray(g3.ssboxes),
+        tris_per_chunk=8, supers_per=4, supers2_per=4, tile=1024,
+    )
+    tmin2, tmin3 = np.asarray(t2[0]), np.asarray(t3[0])
+    f2 = g2.face_of_slot[np.asarray(t2[1])]
+    f3 = g3.face_of_slot[np.asarray(t3[1])]
+    np.testing.assert_array_equal(tmin2, tmin3)
+    np.testing.assert_array_equal(
+        np.where(tmin2 < 1e19, f2, -1), np.where(tmin3 < 1e19, f3, -1)
+    )
+    np.testing.assert_array_equal(tmin3 >= 1e19, ~hitm)
+    assert (f3[hitm] == bh[hitm]).all()
