@@ -215,6 +215,8 @@ def make_render_pt_mesh_pallas_diff(
     materials: tuple,
     tris_per_chunk: int,
     supers_per: int = 0,
+    ssboxes=None,
+    supers2_per: int = 0,
     bounces: int = 8,
     rr_depth: int = 5,
     eps: float = 1e-4,
@@ -241,6 +243,7 @@ def make_render_pt_mesh_pallas_diff(
     kw = dict(
         width=width, height=height, spp4=spp4, materials=tuple(materials),
         tris_per_chunk=tris_per_chunk, supers_per=supers_per,
+        ssboxes=ssboxes, supers2_per=supers2_per,
         bounces=bounces, rr_depth=rr_depth, eps=eps, tile=tile, seed=seed,
         residency=residency, interpret=interpret,
     )
