@@ -44,11 +44,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# largest slot count whose padded [s_pad/512, 8, 512] f32 accumulator
+# fits the paged kernel's 8 MB VMEM budget (pallas_histogram.py)
+_PAGED_MAX_SLOTS = 8 * 2 ** 20 // (8 * 4)
+
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "n_spheres", "n_slots", "spp4", "tile", "with_slots", "cell_chunk",
+        "slot_mode",
     ),
 )
 def replay_backward(
@@ -62,6 +67,7 @@ def replay_backward(
     tile: int,
     with_slots: bool = True,
     cell_chunk: int = 128,
+    slot_mode: str = "auto",  # auto | scatter | flat | paged (bench override)
 ):
     """Replay the product chain from the residuals; returns
     (d_scene_planes [10, S], d_slot_albedo [CT, 3], d_slot_emission
@@ -85,17 +91,34 @@ def replay_backward(
         (3, nb, spp4, 8, lanes),
     ).reshape(3, cells, 8, lanes)
 
-    # slot-grad scatter strategy: below ~8k slots the Pallas one-hot/MXU
-    # histogram (ops/pallas_histogram.py) beats the XLA scatter-add 2.2x
-    # (145 vs 324 ms at 33.5M rows / 5.1k slots on v5e); beyond, its
-    # O(N * n_slots) compare cost loses to the count-proportional
-    # scatter.  The histogram path materializes the (rows, seg) stream
-    # from the scan (one N x 7 f32-equivalent HBM pass).
-    use_hist = (
-        with_slots
-        and n_slots + 1 <= 8192
-        and jax.default_backend() == "tpu"
-    )
+    # slot-grad scatter strategy (three tiers, ops/pallas_histogram.py):
+    # - n_slots+1 <= 8192: the FLAT one-hot/MXU histogram beats the XLA
+    #   scatter-add 2.2x (146 vs 324 ms at 33.5M rows / 5.1k slots on
+    #   v5e); its O(N * n_slots) compare cost doubles per slot-count
+    #   doubling, so ~16k is where it would cross the scatter — 8192 is
+    #   the measured-safe gate;
+    # - up to _PAGED_MAX_SLOTS: the PAGED occupancy-gated histogram —
+    #   same MXU shape, but each sample block pays only for the slot
+    #   blocks its rows touch (replay streams are chunk-major and slots
+    #   spatially sorted, so occupancy is low) with the full accumulator
+    #   VMEM-resident;
+    # - beyond (VMEM-bound): the count-proportional row-payload
+    #   segment-sum.
+    # Both histogram paths materialize the (rows, seg) stream from the
+    # scan (one N x 7 f32-equivalent HBM pass).
+    hist_kind = None
+    if with_slots:
+        if slot_mode == "auto":
+            if jax.default_backend() == "tpu":
+                if n_slots + 1 <= 8192:
+                    hist_kind = "flat"
+                elif n_slots + 1 <= _PAGED_MAX_SLOTS:
+                    hist_kind = "paged"
+        elif slot_mode in ("flat", "paged"):
+            hist_kind = slot_mode
+        elif slot_mode != "scatter":
+            raise ValueError(f"unknown {slot_mode=}")
+    use_hist = hist_kind is not None
 
     cc = min(cell_chunk, cells)
     if cells % cc:
@@ -179,13 +202,16 @@ def replay_backward(
         z = jnp.zeros((0, 3), f32)
         return d_planes, z, z
     if use_hist:
-        from ascendpathtracing_tpu.ops.pallas_histogram import (
-            segment_rows_matmul,
-        )
+        from ascendpathtracing_tpu.ops import pallas_histogram as ph
 
         rows_all = ys[0].reshape(-1, 6)
         seg_all = ys[1].reshape(-1)  # dump id n_slots is out of range
-        acc = segment_rows_matmul(seg_all, rows_all.T, n_slots=n_slots)
+        if hist_kind == "flat":
+            acc = ph.segment_rows_matmul(seg_all, rows_all.T, n_slots=n_slots)
+        else:
+            acc, _occ = ph.segment_rows_paged(
+                seg_all, rows_all.T, n_slots=n_slots
+            )
         return d_planes, acc[:, 0:3], acc[:, 3:6]
     return d_planes, d_slots[:n_slots, 0:3], d_slots[:n_slots, 3:6]
 

@@ -636,6 +636,13 @@ def render_pt_mesh_pallas(
         raise ValueError("sboxes/supers_per inconsistent with chunk count")
     if css and (not cs or css * supers2_per != cs):
         raise ValueError("ssboxes/supers2_per inconsistent with super count")
+    # scan_group's 128-lane iota silently skips boxes 128+ of a group —
+    # reject oversized groups from externally built tables (ADVICE r4
+    # low #1, mirroring build_chunk_grid's guards)
+    if cs and supers_per > 128:
+        raise ValueError("supers_per must be <= 128 (one flags register block)")
+    if css and supers2_per > 128:
+        raise ValueError("supers2_per must be <= 128 (one flags register block)")
     if tris24.shape[1] != TRI_PT_F:
         raise ValueError(f"tris24 must be [C*T, {TRI_PT_F}] attr rows")
 

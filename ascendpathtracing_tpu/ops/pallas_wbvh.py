@@ -694,6 +694,14 @@ def intersect_chunks_pallas(
         raise ValueError("sboxes/supers_per inconsistent with chunk count")
     if css and (not cs or css * supers2_per != cs):
         raise ValueError("ssboxes/supers2_per inconsistent with super count")
+    # compact_worklist's scan_group matches boxes against a 128-lane iota,
+    # so any group size > 128 would silently skip boxes 128+ (missed
+    # intersections, no error) — mirror build_chunk_grid's guards for
+    # externally built tables (ADVICE r4 low #1)
+    if cs and supers_per > 128:
+        raise ValueError("supers_per must be <= 128 (one flags register block)")
+    if css and supers2_per > 128:
+        raise ValueError("supers2_per must be <= 128 (one flags register block)")
     nb = n // tile
     lanes = tile // 8
     stride = tris.shape[1]

@@ -28,17 +28,33 @@ import jax.numpy as jnp
 # max(eps, REL_OFFSET * r_winner) puts the new origin robustly outside
 # the winning sphere at every scale; triangles (scene-scale geometry,
 # position error ~1e-5) pass r2_winner = 0 and keep the eps floor.
+# REL_OFFSET is the FLOAT32 margin (~8 ulp of f32); the Pallas kernels
+# are f32-only and use it directly.  The XLA renderers scale the margin
+# to the compute dtype instead (ADVICE r4 low #4): f64 hit error is
+# ~8 * 2^-52 * r ~ 1.8e-15 * r — 1.8e-10 scene units on the 1e5 walls,
+# far under the eps floor — so the f64 "truth" estimator (and the
+# committed f64 radiance goldens) keeps near-exact diffuse origins
+# instead of baking in a 0.1-unit geometric offset.
 REL_OFFSET = 1e-6
+_REL_OFFSET_F64 = 8 * 2.0 ** -52
+
+
+def rel_offset_for(dtype) -> float:
+    """Dtype-scaled relative offset coefficient: ~8 ulp of the compute
+    dtype (1e-6 for float32 — the measured-robust f32 margin — and
+    ~1.8e-15 for float64)."""
+    return _REL_OFFSET_F64 if jnp.dtype(dtype) == jnp.float64 else REL_OFFSET
 
 
 def scaled_origin_offset(r2_winner, eps):
-    """Per-ray origin offset: max(eps, REL_OFFSET * sqrt(r2_winner)).
-    ``r2_winner`` is the winning sphere's r^2 carrier (0 for triangle or
-    miss winners).  Detached: robustness term, not part of the
-    estimator's differentiable surface."""
+    """Per-ray origin offset: max(eps, rel_offset_for(dtype) *
+    sqrt(r2_winner)).  ``r2_winner`` is the winning sphere's r^2 carrier
+    (0 for triangle or miss winners).  Detached: robustness term, not
+    part of the estimator's differentiable surface."""
     r2 = jax.lax.stop_gradient(r2_winner)
     return jnp.maximum(
-        jnp.asarray(eps, r2.dtype), REL_OFFSET * jnp.sqrt(r2)
+        jnp.asarray(eps, r2.dtype),
+        jnp.asarray(rel_offset_for(r2.dtype), r2.dtype) * jnp.sqrt(r2),
     )
 
 
