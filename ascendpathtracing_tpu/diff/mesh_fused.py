@@ -91,29 +91,25 @@ def replay_backward(
         (3, nb, spp4, 8, lanes),
     ).reshape(3, cells, 8, lanes)
 
-    # slot-grad scatter strategy (three tiers, ops/pallas_histogram.py):
-    # - n_slots+1 <= 8192: the FLAT one-hot/MXU histogram beats the XLA
-    #   scatter-add 2.2x (146 vs 324 ms at 33.5M rows / 5.1k slots on
-    #   v5e); its O(N * n_slots) compare cost doubles per slot-count
-    #   doubling, so ~16k is where it would cross the scatter — 8192 is
-    #   the measured-safe gate;
-    # - up to _PAGED_MAX_SLOTS: the PAGED occupancy-gated histogram —
-    #   same MXU shape, but each sample block pays only for the slot
-    #   blocks its rows touch (replay streams are chunk-major and slots
-    #   spatially sorted, so occupancy is low) with the full accumulator
-    #   VMEM-resident;
-    # - beyond (VMEM-bound): the count-proportional row-payload
-    #   segment-sum.
-    # Both histogram paths materialize the (rows, seg) stream from the
-    # scan (one N x 7 f32-equivalent HBM pass).
+    # slot-grad scatter strategy (ops/pallas_histogram.py; r5 measured
+    # on real replay streams, benchmarks/artifacts/histogram_r5.json):
+    # - up to _PAGED_MAX_SLOTS: the PAGED occupancy-gated one-hot/MXU
+    #   histogram — each sample block pays only for the slot blocks its
+    #   rows touch (replay streams are chunk-major and slots spatially
+    #   sorted, so occupancy stays low), full accumulator VMEM-resident.
+    #   Beats the scatter 2.8x at 5.1k slots (112 vs 318 ms) and 2.4x
+    #   at 82k (222 vs 527), and the flat kernel everywhere (fewer data
+    #   restreams);
+    # - beyond (the [s_pad, 8] f32 accumulator outgrows VMEM): the
+    #   count-proportional row-payload segment-sum.
+    # Histogram paths materialize the (rows, seg) stream from the scan
+    # (one N x 7 f32-equivalent HBM pass).
     hist_kind = None
     if with_slots:
         if slot_mode == "auto":
-            if jax.default_backend() == "tpu":
-                if n_slots + 1 <= 8192:
-                    hist_kind = "flat"
-                elif n_slots + 1 <= _PAGED_MAX_SLOTS:
-                    hist_kind = "paged"
+            if (jax.default_backend() == "tpu"
+                    and n_slots + 1 <= _PAGED_MAX_SLOTS):
+                hist_kind = "paged"
         elif slot_mode in ("flat", "paged"):
             hist_kind = slot_mode
         elif slot_mode != "scatter":

@@ -9,15 +9,18 @@ the systolic array:
 
     d[r, s] += vals[r, n] @ onehot[s, n]^T     per (slot-block, sample-block)
 
-Cost is O(N * n_slots) compares + MAC — bandwidth-free but
-segment-count-proportional, so it wins below a few thousand segments
-and loses to the count-proportional scatter beyond.  The mesh backward
-auto-selects this flat kernel at n_slots+1 <= 8192 (the measured-safe
-side of the crossover: 146 vs 324 ms at 5.1k slots, and the flat cost
-doubles with every slot-count doubling, so by ~16k the scatter wins);
-ABOVE that it selects :func:`segment_rows_paged` below, which keeps
-the MXU shape but pays only for OCCUPIED (sample-block, slot-block)
-pairs (VERDICT r4 ask 2).
+The FLAT kernel (:func:`segment_rows_matmul`) pays O(N * n_slots)
+compares + MAC — bandwidth-free but segment-count-proportional (146 ms
+at 33.5M rows / 5.1k slots vs the scatter's 324; doubles per slot-count
+doubling, crossing the scatter by ~16k slots).  The PAGED kernel
+(:func:`segment_rows_paged`, VERDICT r4 ask 2) keeps the MXU shape but
+pays only for OCCUPIED (sample-block, slot-block) pairs, and beats both
+at every measured scale (r5, real replay streams on v5e: 112 ms at 5.1k
+slots, 222 ms at 82k where the scatter takes 527 — slot_block=128/
+sample_block=2048 sweep winner, benchmarks/histogram_sweep.py); the
+mesh backward auto-selects paged up to the VMEM accumulator bound
+(~256k slots) and the count-proportional scatter beyond.  The flat
+kernel is kept as the zero-overhead dense case + comparison target.
 
 Layout notes (the reasons this kernel looks the way it does):
 - the one-hot is (SB, NB) from an iota COLUMN vs the segment-id ROW —
@@ -161,7 +164,7 @@ def _paged_kernel(seg_ref, vals_ref, out_ref, kocc_ref, flags_ref,
         hit = flags_ref[0, c] > 0.0
         blist_ref[k] = jnp.int32(c)
         k = k + jnp.where(hit, 1, 0).astype(jnp.int32)
-    kocc_ref[0] = k
+    kocc_ref[i] = k  # whole array SMEM-resident; dynamic scalar store
 
     # ---- MXU dots for occupied blocks only ----------------------------
     iota = jax.lax.broadcasted_iota(jnp.int32, (sb, 1), 0)
@@ -193,7 +196,7 @@ def segment_rows_paged(
     vals,     # [R, N] f32 rows to accumulate, R <= 8
     *,
     n_slots: int,
-    slot_block: int = 512,
+    slot_block: int = 128,
     sample_block: int = 2048,
     interpret: bool = False,
 ):
@@ -242,7 +245,7 @@ def segment_rows_paged(
         out_specs=(
             pl.BlockSpec((n_jb, 8, sbk), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_sb,), lambda i: (0,), memory_space=pltpu.SMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n_jb, 8, sbk), jnp.float32),

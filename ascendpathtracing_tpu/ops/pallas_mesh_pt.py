@@ -111,7 +111,7 @@ def pt_tables_kwargs(grid) -> dict:
 def _mesh_pt_kernel(
     *refs,
     width, height, spp4, tile, materials, bounces, rr_depth, eps,
-    cam_consts, n_chunks, n_supers, supers_per, tris_per_chunk,
+    n_chunks, n_supers, supers_per, tris_per_chunk,
     n_supers2, supers2_per,
     tris_mode,  # "smem" | "vmem" | "hbm"
     boxes_flat,
@@ -120,14 +120,18 @@ def _mesh_pt_kernel(
               # u=0 estimator tests/test_pallas_mesh_pt.py mirrors
     debug=False,  # per-bounce worklist-k + alive-count dump on cell 0
     with_residuals=False,  # emit per-bounce replay residuals (wid, resv)
+    with_camera=False,  # also emit per-sample (su, sv) screen coords
+    with_stats=False,  # emit per-(cell, bounce) worklist lengths (SMEM)
 ):
-    """Refs (in order): seed, scene planes, cboxes, [sboxes], tris,
-    out, [wid_out, resv_out], u_scratch, flags (VMEM), clist (SMEM),
-    [slist (SMEM)], [tri_scratch, dma_sem] (hbm mode)."""
+    """Refs (in order): seed, cam (SMEM), scene planes, cboxes,
+    [sboxes], tris, out, [wid_out, resv_out], [suv_out], [kstats_out
+    (SMEM)], u_scratch, flags (VMEM), clist (SMEM), [slist (SMEM)],
+    [tri_scratch, dma_sem] (hbm mode)."""
     f32 = jnp.float32
     T = tris_per_chunk
     it = iter(refs)
     seed_ref = next(it)
+    cam_ref = next(it)
     scene_ref = next(it)
     cboxes_ref = next(it)
     sboxes_ref = next(it) if n_supers else None
@@ -136,6 +140,8 @@ def _mesh_pt_kernel(
     out_ref = next(it)
     wid_ref = next(it) if with_residuals else None
     resv_ref = next(it) if with_residuals else None
+    suv_ref = next(it) if with_camera else None
+    kstats_ref = next(it) if with_stats else None
     u_scratch = next(it)
     flags_ref = next(it)
     clist_ref = next(it)
@@ -169,7 +175,13 @@ def _mesh_pt_kernel(
         i32 = pltpu.bitcast(bits >> 8, jnp.int32)
         return i32.astype(f32) * f32(1.0 / (1 << 24))
 
-    (px, py, pz, dx0, dy0, dz0, cxx, cyx, cyy, cyz, push) = cam_consts
+    # camera rides as a TRACED 11-float SMEM vector (pos3, unit-dir3,
+    # cx.x, cy3, origin push) so camera optimization steps do not
+    # retrace/recompile the kernel (VERDICT r4 ask 3); layout =
+    # diff/camera_fused.cam_vector
+    (px, py, pz, dx0, dy0, dz0, cxx, cyx, cyy, cyz, push) = (
+        cam_ref[ci] for ci in range(11)
+    )
 
     s = spp4 // 4
     sub = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), 0)
@@ -196,6 +208,12 @@ def _mesh_pt_kernel(
     oz = pz + ddz * push
     inv = jax.lax.rsqrt(ddx * ddx + ddy * ddy + ddz * ddz)
     dx, dy, dz = ddx * inv, ddy * inv, ddz * inv
+    if with_camera:
+        # per-sample screen coords: with these + the bounce-0 winner id,
+        # the XLA side can rebuild the primary ray DIFFERENTIABLY in the
+        # camera parameters and replay the depth chain
+        suv_ref[0, 0] = su
+        suv_ref[1, 0] = sv
 
     shape = dx.shape
     tr = jnp.ones(shape, f32)
@@ -308,6 +326,12 @@ def _mesh_pt_kernel(
             sslist_ref=sslist_ref, ssbox=ssbox, n_supers2=n_supers2,
             supers2_per=supers2_per,
         )
+        if with_stats:
+            # per-(cell, bounce) worklist length — the phase-B load /
+            # chunk-occupancy record (VERDICT r4 asks 1+6); bi is a
+            # python int in the unrolled loop, traced in the fori path —
+            # both index the SMEM stats row fine on the scalar core
+            kstats_ref[b * n_layers + a, bi] = k
         if debug:
             # per-bounce worklist length: the traversal-load diagnostic
             # (the wbvh kernel's dump, extended to every bounce here);
@@ -539,14 +563,16 @@ def _mesh_pt_kernel(
         if n_pre:
             state = jax.lax.fori_loop(
                 0, n_pre,
-                lambda i, st: bounce(st, False, u_scratch[pl.ds(3 * i, 3)]),
+                lambda i, st: bounce(st, False, u_scratch[pl.ds(3 * i, 3)],
+                                     i),
                 state,
             )
         if n_rr:
             state = jax.lax.fori_loop(
                 0, n_rr,
                 lambda i, st: bounce(
-                    st, True, u_scratch[pl.ds(3 * (n_pre + i), 3)]
+                    st, True, u_scratch[pl.ds(3 * (n_pre + i), 3)],
+                    n_pre + i,
                 ),
                 state,
             )
@@ -572,7 +598,8 @@ def _mesh_pt_kernel(
     static_argnames=(
         "width", "height", "spp4", "materials", "tris_per_chunk",
         "supers_per", "supers2_per", "bounces", "rr_depth", "eps", "tile",
-        "residency", "interpret", "debug", "with_residuals",
+        "residency", "interpret", "debug", "with_residuals", "with_camera",
+        "with_stats",
     ),
 )
 def render_pt_mesh_pallas(
@@ -594,10 +621,15 @@ def render_pt_mesh_pallas(
     eps: float = 1e-4,
     tile: int = 2048,
     seed=0,
+    cam=None,  # [11] f32 camera vector (diff/camera_fused.cam_vector);
+               # None = the default smallpt camera.  TRACED input: camera
+               # steps re-render without recompiling.
     residency: str = "auto",  # auto | smem | vmem | hbm
     interpret: bool = False,
     debug: bool = False,  # per-bounce worklist + alive dumps (cell 0)
     with_residuals: bool = False,
+    with_camera: bool = False,  # also emit per-sample (su, sv) coords
+    with_stats: bool = False,  # also emit per-(cell, bounce) worklist k
 ):
     """Fully-fused sphere+mesh path trace: per-pixel mean output [3, W*H].
 
@@ -646,13 +678,20 @@ def render_pt_mesh_pallas(
     if tris24.shape[1] != TRI_PT_F:
         raise ValueError(f"tris24 must be [C*T, {TRI_PT_F}] attr rows")
 
-    pos, d0, cx, cy = Camera().basis(width, height)
-    cam_consts = (
-        float(pos[0]), float(pos[1]), float(pos[2]),
-        float(d0[0]), float(d0[1]), float(d0[2]),
-        float(cx[0]), float(cy[0]), float(cy[1]), float(cy[2]),
-        float(Camera().origin_push),
-    )
+    if cam is None:
+        pos, d0, cx, cy = Camera().basis(width, height)
+        cam = jnp.asarray(
+            [pos[0], pos[1], pos[2], d0[0], d0[1], d0[2],
+             cx[0], cy[0], cy[1], cy[2], Camera().origin_push],
+            jnp.float32,
+        )
+    else:
+        cam = jnp.asarray(cam, jnp.float32)
+        if cam.shape != (11,):
+            raise ValueError("cam must be an 11-float camera vector")
+    if with_camera and not with_residuals:
+        raise ValueError("with_camera requires with_residuals (the "
+                         "camera backward replays from wid[0])")
 
     box_bytes = (c + cs + css) * 6 * 4
     tri_bytes = ct * TRI_PT_F * 4
@@ -671,17 +710,19 @@ def render_pt_mesh_pallas(
         _mesh_pt_kernel,
         width=width, height=height, spp4=spp4, tile=tile,
         materials=tuple(materials), bounces=bounces, rr_depth=rr_depth,
-        eps=eps, cam_consts=cam_consts, n_chunks=c, n_supers=cs,
+        eps=eps, n_chunks=c, n_supers=cs,
         supers_per=supers_per, tris_per_chunk=tris_per_chunk,
         n_supers2=css, supers2_per=supers2_per,
         tris_mode=residency, boxes_flat=boxes_flat, use_rng=not interpret,
         debug=debug, with_residuals=with_residuals,
+        with_camera=with_camera, with_stats=with_stats,
     )
     s = scene_planes.shape[1]
 
     seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
-    inputs = [seed_arr, scene_planes]
+    inputs = [seed_arr, cam, scene_planes]
     in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec((10, s), lambda b, a: (0, 0), memory_space=pltpu.VMEM),
     ]
@@ -791,12 +832,32 @@ def render_pt_mesh_pallas(
         out_shapes.append(
             jax.ShapeDtypeStruct((bounces, 7, cells, 8, lanes), jnp.float32)
         )
+    if with_camera:
+        out_specs.append(
+            pl.BlockSpec(
+                (2, 1, 8, lanes), lambda b, a: (0, b * spp4 + a, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        out_shapes.append(
+            jax.ShapeDtypeStruct((2, cells, 8, lanes), jnp.float32)
+        )
+    if with_stats:
+        all_cells = nb * spp4
+        out_specs.append(
+            pl.BlockSpec((all_cells, bounces), lambda b, a: (0, 0),
+                         memory_space=pltpu.SMEM)
+        )
+        out_shapes.append(
+            jax.ShapeDtypeStruct((all_cells, bounces), jnp.int32)
+        )
+    many_outs = with_residuals or with_stats
     outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=tuple(out_specs) if with_residuals else out_specs[0],
-        out_shape=tuple(out_shapes) if with_residuals else out_shapes[0],
+        out_specs=tuple(out_specs) if many_outs else out_specs[0],
+        out_shape=tuple(out_shapes) if many_outs else out_shapes[0],
         scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=total * bounces * (len(materials) * 14 + c * 25 + 120),
@@ -806,7 +867,14 @@ def render_pt_mesh_pallas(
         ),
         interpret=interpret,
     )(*inputs)
+    if not many_outs:
+        return outs.reshape(3, n_pix)
+    outs = list(outs)
+    res = [outs.pop(0).reshape(3, n_pix)]
     if with_residuals:
-        out, wid, resv = outs
-        return out.reshape(3, n_pix), wid, resv
-    return outs.reshape(3, n_pix)
+        res += [outs.pop(0), outs.pop(0)]  # wid, resv
+    if with_camera:
+        res.append(outs.pop(0))  # suv
+    if with_stats:
+        res.append(outs.pop(0))  # kstats [cells, bounces] i32
+    return tuple(res)

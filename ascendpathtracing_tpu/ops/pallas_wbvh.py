@@ -519,11 +519,12 @@ def _wbvh_kernel(
     debug=False,  # per-tile worklist-length kernel_dump (device printf)
     n_supers2=0,
     supers2_per=0,
+    with_stats=False,  # also emit per-tile worklist length k (SMEM out)
 ):
     """Refs (in order): cboxes, [sboxes], [ssboxes], tris, rays,
-    tmin_out, hit_out, [11 attr outs], flags (VMEM scratch), clist
-    (SMEM), [slist (SMEM)], [sslist (SMEM)], [tri_scratch, dma_sem]
-    (hbm mode)."""
+    tmin_out, hit_out, [11 attr outs], [kstats_out (SMEM)], flags
+    (VMEM scratch), clist (SMEM), [slist (SMEM)], [sslist (SMEM)],
+    [tri_scratch, dma_sem] (hbm mode)."""
     f32 = jnp.float32
     T = tris_per_chunk
     it = iter(refs)
@@ -535,6 +536,7 @@ def _wbvh_kernel(
     tmin_ref = next(it)
     hit_ref = next(it)
     attr_refs = [next(it) for _ in range(11)] if with_attrs else []
+    kstats_ref = next(it) if with_stats else None
     flags_ref = next(it)
     clist_ref = next(it)
     slist_ref = next(it) if n_supers else None
@@ -583,6 +585,10 @@ def _wbvh_kernel(
         from ascendpathtracing_tpu.utils.debug import kernel_dump
 
         kernel_dump("wbvh tile worklist k", k, every_cell=True)
+    if with_stats:
+        # per-tile worklist length as a real OUTPUT (occupancy/roofline
+        # accounting, VERDICT r4 asks 1+6) — one scalar SMEM store
+        kstats_ref[pl.program_id(0)] = k
 
     # ---- phase B: precomputed-plane tri tests over listed chunks ------
     # With with_attrs, everything shading needs from the winning triangle
@@ -651,6 +657,7 @@ def _wbvh_kernel(
     static_argnames=(
         "tris_per_chunk", "supers_per", "supers2_per", "eps", "tile",
         "residency", "boxes_residency", "attrs", "interpret", "debug",
+        "stats",
     ),
 )
 def intersect_chunks_pallas(
@@ -670,6 +677,7 @@ def intersect_chunks_pallas(
     attrs: bool = False,
     interpret: bool = False,
     debug: bool = False,  # device-side per-tile worklist dump
+    stats: bool = False,  # also return per-tile worklist lengths
 ):
     """Chunked traversal over ray tiles.
 
@@ -678,6 +686,9 @@ def intersect_chunks_pallas(
     With ``attrs=True`` (tris built by :func:`attr_triangle_rows`) an
     11-tuple of winner attribute planes is appended, in table order:
     (nx, ny, nz, ar, ag, ab, er, eg, eb, is_diff, is_refr).
+    With ``stats=True`` a [n_tiles] i32 array of per-tile worklist
+    lengths k is appended (phase-B load accounting — each tile tests
+    k * tris_per_chunk triangles lanes-wide).
     """
     n = rays_planes.shape[1]
     c = cboxes.shape[0]
@@ -740,6 +751,7 @@ def intersect_chunks_pallas(
         debug=debug,
         n_supers2=css,
         supers2_per=supers2_per,
+        with_stats=stats,
     )
 
     inputs = []
@@ -831,6 +843,11 @@ def intersect_chunks_pallas(
                              jnp.int32 if i == 1 else jnp.float32)
         for i in range(n_out)
     )
+    if stats:
+        out_specs = out_specs + (
+            pl.BlockSpec((nb,), lambda b: (0,), memory_space=pltpu.SMEM),
+        )
+        out_shape = out_shape + (jax.ShapeDtypeStruct((nb,), jnp.int32),)
     outs = pl.pallas_call(
         kernel,
         grid=(nb,),
@@ -840,7 +857,9 @@ def intersect_chunks_pallas(
         scratch_shapes=scratch,
         interpret=interpret,
     )(*inputs)
-    outs = tuple(o.reshape(n) for o in outs)
-    if attrs:
-        return outs[0], outs[1], outs[2:]
-    return outs[0], outs[1]
+    kstats = outs[n_out] if stats else None
+    outs = tuple(o.reshape(n) for o in outs[:n_out])
+    res = (outs[0], outs[1], outs[2:]) if attrs else (outs[0], outs[1])
+    if stats:
+        return res + (kstats,)
+    return res

@@ -18,7 +18,7 @@ This harness renders the residual-emitting fused forward once per
 config (icosphere-in-Cornell at the BASELINE scales), then two-point
 fits the FULL replay_backward under each strategy, and separately runs
 the paged kernel alone to record its occupancy distribution (how many
-of the n_slots/512 slot blocks each 2048-row sample block touched —
+of the n_slots/128 slot blocks each 2048-row sample block touched —
 the locality that makes paging count-proportional in practice).
 
 Usage (TPU):
@@ -135,9 +135,11 @@ def main(argv=None) -> int:
         if n_slots + 1 > 8192 and n_slots + 1 <= dmf._PAGED_MAX_SLOTS:
             seg, vals = _extract_stream(dmf, wid, resv, g, len(mats),
                                         n_slots, args.spp, args.tile)
-            _acc, kocc = ph.segment_rows_paged(seg, vals, n_slots=n_slots)
+            sbk = 128  # the tuned default (benchmarks/histogram_sweep.py)
+            _acc, kocc = ph.segment_rows_paged(seg, vals, n_slots=n_slots,
+                                               slot_block=sbk)
             kocc = np.asarray(jax.block_until_ready(kocc))
-            n_jb = -(-n_slots // 512)
+            n_jb = -(-n_slots // sbk)
             row["paged_occupancy"] = {
                 "slot_blocks_total": int(n_jb),
                 "occupied_mean": round(float(kocc.mean()), 2),
@@ -157,7 +159,7 @@ def main(argv=None) -> int:
             "bwd_ms = full replay_backward step (two-point fit); "
             "slot_grad_ms = that minus the with_slots=False baseline = "
             "the per-face scatter cost in isolation.  paged_occupancy "
-            "records how many 512-slot blocks each 2048-row sample "
+            "records how many slot blocks each 2048-row sample "
             "block touched — chunk-major replay order + spatially "
             "sorted slot ids keep it far below the total."
         ),

@@ -81,7 +81,7 @@ def test_paged_matches_masked_sum(n, s, r):
     np.testing.assert_allclose(got, exp, atol=3e-5 * max(np.abs(exp).max(), 1))
     # occupancy: clustered ids touch far fewer than all slot blocks
     kocc = np.asarray(kocc)
-    n_jb = -(-s // 512)
+    n_jb = -(-s // 128)  # the tuned default slot_block
     assert (kocc >= 1).all() and (kocc <= n_jb).all()
 
 
