@@ -91,6 +91,19 @@ def merge(*meshes):
     return np.concatenate(vs), np.concatenate(fs)
 
 
+def clustered_icospheres(specs):
+    """Non-uniform test scene: merged icospheres of wildly different
+    radius/tessellation (``specs`` = iterable of (center, radius,
+    subdivisions)).  The reference's scene is a fixed uniform 8-sphere
+    table (gen_data.py:94-102); this generalizes it to the chunk grid's
+    stress case — triangle DENSITY varying by orders of magnitude, so
+    chunk sizes and per-tile worklists skew (VERDICT r4 ask 6's
+    irregular-mesh evidence; see benchmarks/irregular_mesh.py)."""
+    return merge(*[
+        icosphere(center=c, radius=r, subdivisions=s) for c, r, s in specs
+    ])
+
+
 def transform(v, *, scale=1.0, rotate_y=0.0, translate=(0.0, 0.0, 0.0)):
     """Scale -> rotate about +Y -> translate a vertex array (host-side)."""
     v = np.asarray(v, np.float64) * float(scale)

@@ -320,18 +320,26 @@ def _mesh_pt_kernel(
                 tmin_gate,
             )
 
-        k = wbvh.compact_worklist(
+        k, hs, hss = wbvh.compact_worklist(
             flags_ref, clist_ref, slist_ref, slab_bounded, cbox, sbox,
             n_chunks=n_chunks, n_supers=n_supers, supers_per=supers_per,
             sslist_ref=sslist_ref, ssbox=ssbox, n_supers2=n_supers2,
             supers2_per=supers2_per,
         )
         if with_stats:
-            # per-(cell, bounce) worklist length — the phase-B load /
-            # chunk-occupancy record (VERDICT r4 asks 1+6); bi is a
-            # python int in the unrolled loop, traced in the fori path —
-            # both index the SMEM stats row fine on the scalar core
-            kstats_ref[b * n_layers + a, bi] = k
+            # per-(cell, bounce) worklist length + phase-A hit counts —
+            # the phase-B load / chunk-occupancy record AND the
+            # data-dependent-loop trip counts the roofline model assigns
+            # (VERDICT r4 asks 1+6); bi is a python int in the unrolled
+            # loop, traced in the fori path — both index the SMEM stats
+            # row fine on the scalar core.  Rows: [bi] = k,
+            # [bounces + bi] = hit supers, [2*bounces + bi] = hit
+            # super-supers; CELLS on the minor axis (SMEM pads the minor
+            # dim to 128 lanes — a [cells, 24] layout at 512x512x16spp
+            # padded to 2 MB and blew the 1 MB SMEM cap on v5e).
+            kstats_ref[bi, b * n_layers + a] = k
+            kstats_ref[bounces + bi, b * n_layers + a] = hs
+            kstats_ref[2 * bounces + bi, b * n_layers + a] = hss
         if debug:
             # per-bounce worklist length: the traversal-load diagnostic
             # (the wbvh kernel's dump, extended to every bounce here);
@@ -696,14 +704,18 @@ def render_pt_mesh_pallas(
     box_bytes = (c + cs + css) * 6 * 4
     tri_bytes = ct * TRI_PT_F * 4
     if residency == "auto":
-        # 4MB vmem cap, matching pallas_wbvh: the kernel's u_scratch +
-        # flags + output blocks share the 16MB scoped VMEM budget
+        # smem when the tables fit, else the hbm SMEM-landing DMA ring.
+        # vmem residency is DOMINATED since the r5 ring change: phase B
+        # reads tris as scalar loads, and dynamic-index scalar loads
+        # from VMEM lower to a slow path — s4 measured smem 1322 /
+        # vmem 2366 / hbm-ring 1406 ms on identical work (roofline r5).
+        # "vmem" stays selectable for tests.
         if box_bytes + tri_bytes <= 512 * 1024:
             residency = "smem"
-        elif tri_bytes <= 4 * 1024 * 1024:
-            residency = "vmem"
-        else:
+        elif tris_per_chunk * TRI_PT_F <= 1024:
             residency = "hbm"
+        else:  # wide chunk rows cannot ride the one-tile-per-chunk DMA
+            residency = "vmem"
     boxes_flat = box_bytes <= 512 * 1024
 
     kernel = functools.partial(
@@ -798,8 +810,11 @@ def render_pt_mesh_pallas(
     if css:
         scratch.append(pltpu.SMEM((css,), jnp.int32))
     if residency == "hbm":
-        scratch.append(pltpu.VMEM((2, 8, 128), jnp.float32))
-        scratch.append(pltpu.SemaphoreType.DMA((2,)))
+        # SMEM landing ring (see pallas_wbvh.streamed_chunk_loop): the
+        # dynamic-index VMEM scratch reads were the hbm path's 1.8x tax
+        scratch.append(
+            pltpu.SMEM((wbvh.DMA_DEPTH, 8, 128), jnp.float32))
+        scratch.append(pltpu.SemaphoreType.DMA((wbvh.DMA_DEPTH,)))
 
     total = n_pix * spp4
     lanes = tile // 8
@@ -845,11 +860,11 @@ def render_pt_mesh_pallas(
     if with_stats:
         all_cells = nb * spp4
         out_specs.append(
-            pl.BlockSpec((all_cells, bounces), lambda b, a: (0, 0),
+            pl.BlockSpec((3 * bounces, all_cells), lambda b, a: (0, 0),
                          memory_space=pltpu.SMEM)
         )
         out_shapes.append(
-            jax.ShapeDtypeStruct((all_cells, bounces), jnp.int32)
+            jax.ShapeDtypeStruct((3 * bounces, all_cells), jnp.int32)
         )
     many_outs = with_residuals or with_stats
     outs = pl.pallas_call(
@@ -876,5 +891,5 @@ def render_pt_mesh_pallas(
     if with_camera:
         res.append(outs.pop(0))  # suv
     if with_stats:
-        res.append(outs.pop(0))  # kstats [cells, bounces] i32
+        res.append(outs.pop(0))  # kstats [3*bounces, cells] i32
     return tuple(res)

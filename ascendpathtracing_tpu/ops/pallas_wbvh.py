@@ -354,7 +354,11 @@ def compact_worklist(
     the static-unrolled top scan shrinks from O(n_supers) to
     O(n_supers2) slab tests, which is what carries phase A past ~1M
     triangles (5,120 unrolled tests/tile/bounce otherwise).
-    Returns the worklist length ``k`` (traced i32)."""
+    Returns ``(k, ks, kss)`` (traced i32): the chunk worklist length,
+    the hit-super count, and the hit-super-super count (0 for levels
+    the configuration does not have) — the per-level trip counts the
+    roofline accounting assigns to the kernel's data-dependent loops
+    (benchmarks/roofline.py)."""
     f32 = jnp.float32
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
 
@@ -389,7 +393,7 @@ def compact_worklist(
             hit_c = flags_ref[0, c] > 0.0
             clist_ref[k] = jnp.int32(c)
             k = k + jnp.where(hit_c, 1, 0).astype(jnp.int32)
-        return k
+        return k, jnp.int32(0), jnp.int32(0)
 
     if n_supers2:
         # level 2: super-supers (static unroll) -> sslist
@@ -412,6 +416,7 @@ def compact_worklist(
 
         ks = jax.lax.fori_loop(0, kss, ss_body, jnp.int32(0))
     else:
+        kss = jnp.int32(0)
         # level 1 only: supers (static unroll) -> slist
         scan_static(sbox, n_supers)
         ks = jnp.int32(0)
@@ -432,7 +437,10 @@ def compact_worklist(
             k = k + jnp.where(hit_c, 1, 0).astype(jnp.int32)
         return k
 
-    return jax.lax.fori_loop(0, ks, super_body, jnp.int32(0))
+    return jax.lax.fori_loop(0, ks, super_body, jnp.int32(0)), ks, kss
+
+
+DMA_DEPTH = 8  # worklist-DMA ring depth (see streamed_chunk_loop)
 
 
 def streamed_chunk_loop(
@@ -451,15 +459,24 @@ def streamed_chunk_loop(
     """Phase B driver shared by the traversal and fused-PT kernels: fori
     over the compacted worklist, calling ``chunk_fn`` once per hit chunk
     with a ``trif(j, kk)`` reader for float ``kk`` of the chunk's j-th
-    triangle and the chunk's base SLOT id.  ``hbm`` mode double-buffers
-    a per-chunk DMA of the worklist (fetch chunk i+1's tile while testing
-    chunk i) — HBM tris are packed ONE CHUNK PER (8, 128) TILE
-    ([C, 8, 128]): Mosaic requires DMA slice minor dims be tile-aligned,
-    and scalar reads from the landing scratch only lower with the dynamic
-    index on a non-minor dim ((2, 8, 128)[buf, j, kk] lowers; (2, 1024)
-    [buf, j] does not — measured on v5e)."""
+    triangle and the chunk's base SLOT id.  ``hbm`` mode streams each
+    chunk's tile through a DEPTH-``DMA_DEPTH`` ring of scratch buffers:
+    the 4 KB per-chunk DMA has ~µs-class LATENCY while one chunk's tri
+    tests take only ~0.3 µs of VPU time, so the r3 depth-2 double buffer
+    left the kernel DMA-latency-bound (the roofline run measured the s6
+    fused kernel at 46.8% of its VPU bound with ~5M trips × ~1 µs of
+    unhidden latency ≈ the whole frame; benchmarks/artifacts/
+    roofline_r5.json) — a deeper ring keeps DMA_DEPTH-1 fetches in
+    flight, trading 24 KB more VMEM scratch for covering the latency.
+    HBM tris are packed ONE CHUNK PER (8, 128) TILE ([C, 8, 128]):
+    Mosaic requires DMA slice minor dims be tile-aligned, and scalar
+    reads from the landing scratch only lower with the dynamic index on
+    a non-minor dim ((D, 8, 128)[buf, j, kk] lowers; (D, 1024)[buf, j]
+    does not — measured on v5e)."""
     T = tris_per_chunk
     if tris_mode == "hbm":
+        D = tscratch_ref.shape[0]
+
         def get_dma(slot_buf, i):
             c = clist_ref[i]
             return pltpu.make_async_copy(
@@ -468,16 +485,19 @@ def streamed_chunk_loop(
                 dsem_ref.at[slot_buf],
             )
 
-        @pl.when(k > 0)
-        def _():
-            get_dma(jnp.int32(0), jnp.int32(0)).start()
+        # prime the ring: fetches for chunks 0..D-2 all in flight
+        for j in range(D - 1):
+            @pl.when(j < k)
+            def _(j=j):
+                get_dma(jnp.int32(j), jnp.int32(j)).start()
 
         def chunk_body(i, carry):
-            buf = jax.lax.rem(i, jnp.int32(2))
+            buf = jax.lax.rem(i, jnp.int32(D))
 
-            @pl.when(i + 1 < k)
+            @pl.when(i + (D - 1) < k)
             def _():
-                get_dma(jax.lax.rem(i + 1, jnp.int32(2)), i + 1).start()
+                get_dma(jax.lax.rem(i + (D - 1), jnp.int32(D)),
+                        i + (D - 1)).start()
 
             get_dma(buf, i).wait()
             base = clist_ref[i] * T
@@ -573,7 +593,7 @@ def _wbvh_kernel(
         )
 
     # ---- phase A: box tests -> compacted chunk worklist ---------------
-    k = compact_worklist(
+    k, ks, kss = compact_worklist(
         flags_ref, clist_ref, slist_ref, slab_idx, cbox, sbox,
         n_chunks=n_chunks, n_supers=n_supers, supers_per=supers_per,
         sslist_ref=sslist_ref, ssbox=ssbox, n_supers2=n_supers2,
@@ -586,9 +606,14 @@ def _wbvh_kernel(
 
         kernel_dump("wbvh tile worklist k", k, every_cell=True)
     if with_stats:
-        # per-tile worklist length as a real OUTPUT (occupancy/roofline
-        # accounting, VERDICT r4 asks 1+6) — one scalar SMEM store
-        kstats_ref[pl.program_id(0)] = k
+        # per-tile (k, hit supers, hit super-supers) as real OUTPUTS
+        # (occupancy/roofline accounting, VERDICT r4 asks 1+6) — these
+        # are exactly the trip counts of the kernel's three
+        # data-dependent loops (benchmarks/roofline.py assigns them).
+        # TILES on the minor axis: SMEM pads the minor dim to 128 lanes
+        kstats_ref[0, pl.program_id(0)] = k
+        kstats_ref[1, pl.program_id(0)] = ks
+        kstats_ref[2, pl.program_id(0)] = kss
 
     # ---- phase B: precomputed-plane tri tests over listed chunks ------
     # With with_attrs, everything shading needs from the winning triangle
@@ -686,9 +711,11 @@ def intersect_chunks_pallas(
     With ``attrs=True`` (tris built by :func:`attr_triangle_rows`) an
     11-tuple of winner attribute planes is appended, in table order:
     (nx, ny, nz, ar, ag, ab, er, eg, eb, is_diff, is_refr).
-    With ``stats=True`` a [n_tiles] i32 array of per-tile worklist
-    lengths k is appended (phase-B load accounting — each tile tests
-    k * tris_per_chunk triangles lanes-wide).
+    With ``stats=True`` a [3, n_tiles] i32 array of per-tile
+    (worklist length k, hit supers, hit super-supers) rows is appended
+    (phase-B load accounting — each tile tests k * tris_per_chunk
+    triangles lanes-wide; rows 1-2 are the phase-A group-scan trip
+    counts the roofline model needs).
     """
     n = rays_planes.shape[1]
     c = cboxes.shape[0]
@@ -722,16 +749,20 @@ def intersect_chunks_pallas(
     box_bytes = (c + cs + css) * 6 * 4
     tri_bytes = ct * stride * 4
     if residency == "auto":
-        # vmem cap is 4MB, not the full 16MB scoped budget: with
-        # attrs=True the kernel also holds 13 double-buffered output
-        # blocks + rays + flags in VMEM (an 8MB table at tile=2048
-        # measured 40.2MB scoped -> compile OOM)
+        # smem when the tables fit, else the hbm SMEM-landing DMA ring
+        # (r5): phase B reads tris as scalar loads and dynamic-index
+        # scalar loads from VMEM lower to a slow path, so vmem residency
+        # is dominated by the ring (mesh kernel s4: smem 1322 / vmem
+        # 2366 / hbm-ring 1406 ms on identical work).  "vmem" stays
+        # selectable for tests; hbm additionally needs
+        # tris_per_chunk*stride <= 1024 (one (8,128) tile per chunk),
+        # so wide rows keep the old vmem path.
         if box_bytes + tri_bytes <= 512 * 1024:
             residency = "smem"
-        elif tri_bytes <= 4 * 1024 * 1024:
-            residency = "vmem"
-        else:
+        elif tris_per_chunk * stride <= 1024:
             residency = "hbm"
+        else:
+            residency = "vmem"
     if boxes_residency == "auto":
         boxes_flat = box_bytes <= 512 * 1024
     else:
@@ -831,8 +862,15 @@ def intersect_chunks_pallas(
     if css:
         scratch.append(pltpu.SMEM((css,), jnp.int32))
     if residency == "hbm":
-        scratch.append(pltpu.VMEM((2, 8, 128), jnp.float32))
-        scratch.append(pltpu.SemaphoreType.DMA((2,)))
+        # SMEM, not VMEM, landing buffers: phase B reads the chunk tile
+        # as ~24 scalar loads per triangle, and dynamic-index scalar
+        # loads from VMEM scratch lower to a slow path — forcing vmem/
+        # hbm residency at s4 measured 2366/2421 ms vs 1322 ms for smem
+        # on the SAME work (roofline_r5.json experiment); landing the
+        # DMA in SMEM makes the streamed path read at native scalar
+        # speed.  HBM->SMEM DMA of one (8, 128) tile per chunk.
+        scratch.append(pltpu.SMEM((DMA_DEPTH, 8, 128), jnp.float32))
+        scratch.append(pltpu.SemaphoreType.DMA((DMA_DEPTH,)))
 
     n_out = 2 + (11 if attrs else 0)
     blk = lambda: pl.BlockSpec((1, 8, lanes), lambda b: (b, 0, 0),
@@ -845,9 +883,9 @@ def intersect_chunks_pallas(
     )
     if stats:
         out_specs = out_specs + (
-            pl.BlockSpec((nb,), lambda b: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((3, nb), lambda b: (0, 0), memory_space=pltpu.SMEM),
         )
-        out_shape = out_shape + (jax.ShapeDtypeStruct((nb,), jnp.int32),)
+        out_shape = out_shape + (jax.ShapeDtypeStruct((3, nb), jnp.int32),)
     outs = pl.pallas_call(
         kernel,
         grid=(nb,),

@@ -180,6 +180,73 @@ def test_mesh_fused_custom_vjp_fd_on_chip():
     assert abs(ga[idx] - est) <= 1e-2 * max(abs(est), 1e-2), (idx, ga[idx], est)
 
 
+def test_mesh_fused_fd_at_million_slots_on_chip():
+    """FD-gate the MILLION-triangle backward (VERDICT r4 ask 5): at
+    subdiv 8 (1,310,720 slots) the per-face gradient takes the
+    count-proportional segment-sum path (slots > the paged histogram's
+    ~262k VMEM ceiling, diff/mesh_fused.py) — the large-slot branch the
+    subdiv-2 FD gate never touches.  Probes the two strongest slot-
+    albedo coordinates with central FD through the COMPILED fused
+    forward (bounces <= rr_depth makes detachment exact, so FD is
+    near-exact; same discipline as gen_data.py:246-429's oracle diff).
+
+    ~2-3 min on chip (table build + 5 subdiv-8 renders): gate behind
+    APT_TPU_SLOW=1 on top of the hardware gate."""
+    import os
+
+    if os.environ.get("APT_TPU_SLOW") != "1":
+        pytest.skip("subdiv-8 FD gate is slow; set APT_TPU_SLOW=1")
+
+    import jax.numpy as jnp
+
+    from ascendpathtracing_tpu.diff import mesh_fused as dmf
+    from ascendpathtracing_tpu.ops import pallas_mesh_pt as mpt
+
+    ms = _scene(subdivisions=8)  # 1,310,720 tris
+    planes, cb, sb, t24, mats, grid = mpt.mesh_pt_tables(
+        ms, tris_per_chunk=16
+    )
+    assert grid.n_supers2 > 0  # 3-level phase A engaged
+    t24 = jnp.asarray(t24)
+    geom16, alb0, emi0, mat2 = (
+        t24[:, :16], t24[:, 16:19], t24[:, 19:22], t24[:, 22:24],
+    )
+    n_slots = int(geom16.shape[0])
+    assert n_slots + 1 > dmf._PAGED_MAX_SLOTS  # the scatter branch
+
+    render = dmf.make_render_pt_mesh_pallas_diff(
+        cb, sb, geom16, mat2, width=32, height=32, spp4=8, materials=mats,
+        bounces=3, rr_depth=3, tile=1024, seed=11,
+        **mpt.pt_tables_kwargs(grid),
+    )
+    planes32 = planes.astype(jnp.float32)
+    wgt = jnp.asarray(
+        np.random.RandomState(1).rand(3, 32 * 32).astype(np.float32)
+    )
+    loss = jax.jit(lambda a: jnp.sum(wgt * render(planes32, a, emi0)))
+    ga = np.asarray(jax.grad(loss)(alb0))
+    assert np.isfinite(ga).all()
+    nz = int((np.abs(ga).sum(1) > 0).sum())
+    assert nz > 100, nz  # many visible faces contribute
+
+    def fd(idx, h=1e-2):
+        x0 = np.asarray(alb0).copy()
+        x0[idx] += h
+        x1 = np.asarray(alb0).copy()
+        x1[idx] -= h
+        return (float(loss(jnp.asarray(x0)))
+                - float(loss(jnp.asarray(x1)))) / (2 * h)
+
+    flat = np.abs(ga).sum(1)
+    order = np.argsort(flat)[::-1]
+    for slot in order[:2]:
+        idx = (int(slot), int(np.abs(ga[slot]).argmax()))
+        est = fd(idx)
+        assert abs(ga[idx] - est) <= 1e-2 * max(abs(est), 1e-2), (
+            idx, ga[idx], est,
+        )
+
+
 def test_mesh_pt_three_level_bitwise_on_chip():
     """The fused PT kernel's 3-level phase A through Mosaic: a forced
     super-superchunk config must render bitwise-identically to the
