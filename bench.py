@@ -81,7 +81,12 @@ def main(argv=None) -> int:
     )
     p.add_argument("--pool", type=int, default=1 << 19, help="wavefront ray pool")
     p.add_argument("--spp", type=int, default=64, help="wavefront samples/pixel")
-    p.add_argument("--tile", type=int, default=4096, help="pallas ray tile")
+    p.add_argument(
+        "--tile", type=int, default=None,
+        help="pallas ray tile (default: 8192 for the sphere pallas "
+        "renderer — the r5 sweep winner, 931 vs 892 Mrays/s at 4096 — "
+        "and 4096 elsewhere)",
+    )
     p.add_argument("--subdiv", type=int, default=4,
                    help="mesh renderers: icosphere subdivisions "
                    "(tris = 20*4^s: 4 -> 5120, 5 -> 20480, 6 -> 81920)")
@@ -104,6 +109,14 @@ def main(argv=None) -> int:
         args.renderer = (
             "pallas" if (jax.default_backend() == "tpu" and args.mode == "reference")
             else "jit"
+        )
+    if args.tile is None:
+        # r5 tile sweep on v5e (4.19M rays, 8 bounces).  fwd+bwd:
+        # 1024→568, 2048→751, 4096→892, 8192→932, 16384→770 Mrays/s
+        # (the larger tile amortizes the two-launch fwd/bwd glue);
+        # fwd-only prefers 4096 (1507 vs 1436 at 8192).
+        args.tile = (
+            8192 if (args.renderer == "pallas" and not args.fwd_only) else 4096
         )
 
     n = args.rays
