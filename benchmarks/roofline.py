@@ -342,6 +342,21 @@ def sphere_section(model, iters=8, rays=1 << 22, bounces=8, tile=4096):
             counts, n, fit["step_s"], model, bytes_hbm,
             label=label, extra=_fit(fit)))
         print(json.dumps(rows[-1]), flush=True)
+
+    # The bench.py headline default since r5 is tile 8192 for the
+    # combined step (the larger tile amortizes the two-launch glue:
+    # 892 -> 930 Mrays/s in the sweep); measure it against the same
+    # bound so the artifact matches the shipped configuration.
+    render_d8 = pk.make_render_reference_pallas_diff(
+        light_index=sc.light_index, bounces=bounces, tile=8192)
+    step_d8 = jax.jit(jax.value_and_grad(lambda p: jnp.sum(render_d8(rp, p))))
+    counts = rl.count_ops(step_d8, planes)
+    fit = profiling.benchmark_fit(lambda i: step_d8(planes), iters=iters)
+    rows.append(_bound_row(
+        counts, n, fit["step_s"], model, (6 + 3 + 2 * bounces + 3) * 4 * n,
+        label="sphere-pt fwd+bwd (tile 8192, bench default)",
+        extra=_fit(fit)))
+    print(json.dumps(rows[-1]), flush=True)
     return rows
 
 
